@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.analysis.AnalyzerConfig
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig, IndexStore}
+import graft.model.RetrievalModel
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — the reference's `QryEval.main`
+  * (`QryEval/src/QryEval.java:59-230`) re-expressed: parameter file in,
+  * TREC run file out.
+  *
+  * Parameters (reference names kept, `QryEval/parameter.txt`):
+  *   corpusPath=<parquet of (repo,path,commit,lang,content)>  (or
+  *   corpusSynthetic=<n docs> for the seeded generator)
+  *   indexPath=<dir>   — if present and built, reused; else built+saved
+  *   retrievalAlgorithm=UnrankedBoolean|RankedBoolean|BM25|Indri
+  *   BM25:k_1= BM25:b= BM25:k_3=  Indri:mu= Indri:lambda=
+  *   queryFilePath=<id:querytext lines>
+  *   trecEvalOutputPath=<output>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: Main <paramFile>")
+    val params = ParamFile.load(args(0))
+
+    val builder = SparkSession.builder()
+      .appName("graft-search")
+    // spark-submit injects spark.master; default for direct JVM launches.
+    if (!sys.props.contains("spark.master"))
+      builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = builder
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val model = RetrievalModel.fromParams(params)
+    val cfg = AnalyzerConfig.code
+
+    val index = params.get("indexPath") match {
+      case Some(dir) if IndexStore.exists(dir) => IndexStore.load(spark, dir)
+      case maybeDir =>
+        val corpus = params.get("corpusPath") match {
+          case Some(p) => spark.read.parquet(p)
+          case None =>
+            val n = params.getOrElse("corpusSynthetic", "2000").toLong
+            CorpusGen.df(spark, n)
+        }
+        val built = IndexBuilder.build(spark, corpus, IndexConfig(cfg))
+        maybeDir.foreach(dir => IndexStore.save(built, dir))
+        built.cacheAll()
+    }
+
+    val engine = new SearchEngine(index, cfg)
+    val out = params("trecEvalOutputPath")
+    new java.io.File(out).delete() // reference appends; start fresh per run
+
+    val t0 = System.nanoTime()
+    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q) =>
+      val ranked = engine.search(q, model, 100)
+      TrecWriter.writeResults(out, qid, ranked)
+    }
+    // Reference prints total running time (`QryEval.java:229-230`).
+    println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

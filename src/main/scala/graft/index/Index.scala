@@ -1,0 +1,57 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-field collection statistics — the reference's
+  * `sumTotalTermFreq(field)` / `getDocCount(field)` pair
+  * (`QryEval/src/QryopSlScore.java:142-143,198`). `avgDocLen` reproduces
+  * the reference's float division. */
+final case class FieldStats(field: String, docCount: Long,
+                            collectionLength: Long) {
+  def avgDocLen: Float = collectionLength.toFloat / docCount
+}
+
+/** Global statistics — exact global aggregates (north rule). `numDocs` is
+  * the reference's `READER.numDocs()` (`QryopSlScore.java:141`). */
+final case class IndexStats(numDocs: Long, fields: Map[String, FieldStats])
+
+/** A built inverted index: the Spark-shaped equivalent of the reference's
+  * Lucene index + DocLengthStore (SURVEY §1).
+  *
+  *  - docs      (docid, extid, repo, path, commit, lang, sha256)
+  *  - postings  (term, field, docid, tf, positions: array<int>)
+  *  - doclen    (docid, field, len)
+  *  - termStats (term, field, df, ctf)
+  *
+  * `postings` carries exact positions (like Lucene's positional postings);
+  * the compressed block form lives in `postings_blocks` when the index is
+  * persisted (see [[IndexStore]]).
+  */
+final class Index(
+    val spark: SparkSession,
+    val docs: DataFrame,
+    val postings: DataFrame,
+    val doclen: DataFrame,
+    val termStats: DataFrame,
+    val stats: IndexStats) extends Serializable {
+
+  def fieldStats(field: String): FieldStats =
+    stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))
+
+  /** Forward index (doc vector), built on demand for PRF / LeToR —
+    * reference `TermVector` (`QryEval/src/TermVector.java:19-89`). */
+  lazy val fwdIndex: DataFrame = {
+    import org.apache.spark.sql.functions._
+    postings
+      .groupBy("docid", "field")
+      .agg(sort_array(collect_list(struct(col("term"), col("tf"))))
+        .as("stemsTf"))
+      .select(col("docid"), col("field"),
+        col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"))
+  }
+
+  def cacheAll(): Index = {
+    docs.cache(); postings.cache(); doclen.cache(); termStats.cache()
+    this
+  }
+}

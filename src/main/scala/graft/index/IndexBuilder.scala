@@ -1,0 +1,129 @@
+package graft.index
+
+import graft.analysis.{Analyzer, AnalyzerConfig, Tok}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Index build configuration.
+  *
+  * @param analyzer   deterministic analyzer, identical at build & query
+  * @param buckets    number of docid buckets. The bucket doubles as the
+  *                   *salt* of the salted posting-list build (north rule):
+  *                   a hot term's postings are spread across all buckets,
+  *                   so no single reducer ever sees a full hot-term list.
+  *                   Must be < 2^20; each bucket holds < 2^43 docs.
+  * @param fields     fields to index. `body` comes from `content`; `title`
+  *                   from `path`; `url` from `repo + "/" + path`
+  *                   (FIXTURES.md §1 derivation of the reference's
+  *                   multi-field docs, `QryEval/src/QryEval.java:467`).
+  */
+final case class IndexConfig(
+    analyzer: AnalyzerConfig = AnalyzerConfig.code,
+    buckets: Int = 64,
+    fields: Seq[String] = Seq("body"))
+
+/** Builds the inverted index from the corpus table
+  * `(repo, path, commit, lang, content)` (BASELINE.json input_hint).
+  *
+  * Spark-first design, no RDDs:
+  *  - docid assignment: single shuffle, no global sort, no sampling —
+  *    `docid = bucket(extid) << 43 | rank_within_bucket`. Deterministic
+  *    (hash + per-bucket extid order), scales to 10^12 docs with 2^20
+  *    buckets, and gives every doc a 64-bit id without driver round-trips.
+  *  - postings: `groupBy(term, field, docid)` — the docid in the key IS
+  *    the salt; hot terms ("the", "if", license headers) hash-spread
+  *    across all partitions (north rule's salted repartitioning).
+  *  - df/ctf/doclen/collection stats: associative aggregates with
+  *    map-side partial aggregation — skew-free by construction, and exact
+  *    global values as the reference requires (SURVEY §1.5).
+  */
+object IndexBuilder {
+
+  /** docid layout: high bits = bucket (the segment/salt), low 43 bits =
+    * per-bucket rank. */
+  val BucketShift = 43
+
+  /** extid per FIXTURES.md: repo + "/" + path + "@" + commit. */
+  def extidCol: Column =
+    concat(col("repo"), lit("/"), col("path"), lit("@"), col("commit"))
+
+  /** Tokenize UDF: Array[Tok(term, pos)] with stopword gaps. */
+  private def tokensUdf(cfg: AnalyzerConfig) =
+    udf((text: String) => Analyzer.tokenize(text, cfg))
+
+  /** Assign deterministic docids and compute the docs table. */
+  def assignDocids(corpus: DataFrame, buckets: Int): DataFrame = {
+    val withExt = corpus
+      .withColumn("extid", extidCol)
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("bucket", pmod(xxhash64(col("extid")), lit(buckets.toLong)))
+    // Per-bucket rank: each window group is one bucket (~N/buckets docs),
+    // never a global single-partition sort.
+    val w = Window.partitionBy("bucket").orderBy("extid")
+    withExt
+      .withColumn("docid",
+        shiftleft(col("bucket"), BucketShift)
+          .plus(row_number().over(w).cast("long") - lit(1L)))
+      .drop("bucket")
+  }
+
+  /** (docid, field, text) rows for every indexed field of every doc. */
+  def fieldText(docs: DataFrame, fields: Seq[String]): DataFrame = {
+    val cols: Seq[Column] = fields.map {
+      case "body"  => struct(lit("body").as("field"), col("content").as("text"))
+      case "title" => struct(lit("title").as("field"), col("path").as("text"))
+      case "url" => struct(lit("url").as("field"),
+        concat(col("repo"), lit("/"), col("path")).as("text"))
+      case other => struct(lit(other).as("field"), lit("").as("text"))
+    }
+    docs.select(col("docid"), explode(array(cols: _*)).as("ft"))
+      .select(col("docid"), col("ft.field").as("field"), col("ft.text").as("text"))
+  }
+
+  def build(spark: SparkSession, corpus: DataFrame,
+            cfg: IndexConfig = IndexConfig()): Index = {
+    val docsAll = assignDocids(corpus, cfg.buckets)
+    val docs = docsAll
+      .select("docid", "extid", "repo", "path", "commit", "lang", "sha256")
+      .cache()
+
+    val tokens = fieldText(docsAll, cfg.fields)
+      .select(col("docid"), col("field"),
+        explode(tokensUdf(cfg.analyzer)(col("text"))).as("tok"))
+      .select(col("docid"), col("field"),
+        col("tok.term").as("term"), col("tok.pos").as("pos"))
+
+    // (term, field, docid) key: docid acts as the salt — hot terms spread
+    // over every shuffle partition. Positions sorted after the merge so
+    // the result is deterministic regardless of partial-agg order.
+    val postings = tokens
+      .groupBy("term", "field", "docid")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")))
+      .select("term", "field", "docid", "tf", "positions")
+
+    // Doc length = number of tokens surviving the analyzer (Lucene-norm
+    // semantics, `QryEval/src/DocLenStoreSimilarity.java:29-36`).
+    val doclen = tokens.groupBy("docid", "field")
+      .agg(count(lit(1)).as("len"))
+
+    // Exact global term statistics (SURVEY §1.5): two-stage (salted →
+    // global) by virtue of Spark's partial aggregation; values are pure
+    // sums/counts so the result is exact.
+    val termStats = postings.groupBy("term", "field")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+
+    val numDocs = docs.count()
+    val fieldRows = doclen.groupBy("field")
+      .agg(count(lit(1)).as("docCount"), sum(col("len")).as("collectionLength"))
+      .collect()
+    val fstats = fieldRows.map { r =>
+      val f = r.getString(0)
+      f -> FieldStats(f, r.getLong(1), r.getLong(2))
+    }.toMap
+
+    new Index(spark, docs, postings, doclen, termStats,
+      IndexStats(numDocs, fstats))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Persisted index layout — Iceberg-style semantics (snapshot commit,
+  * per-segment manifest with lineage + build metrics, resumable writes)
+  * implemented explicitly over partitioned Parquet. (No Iceberg runtime
+  * jar exists in this sandbox — SURVEY §7 documents the substitution; the
+  * metadata layer below provides the snapshot/manifest/resume semantics
+  * the north rule requires.)
+  *
+  * ```
+  * dir/
+  *   postings/segment=K/   docid-bucket-partitioned, term-sorted files
+  *   docs/  doclen/  termstats/
+  *   manifest/             per-(table, segment) lineage + metrics rows
+  *   stats.json            global statistics (exact aggregates)
+  *   _done_<table>         per-table checkpoint markers (resume points)
+  *   SNAPSHOT.json         atomic commit record — written LAST; a load
+  *                         refuses a dir without it
+  * ```
+  *
+  * Resume: `save` skips any table whose `_done_` marker exists, so a
+  * killed build re-runs only the unfinished tables/partitions; the
+  * snapshot is only committed when every table landed.
+  */
+object IndexStore {
+
+  private val Tables = Seq("docs", "postings", "doclen", "termstats")
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "SNAPSHOT.json"))
+
+  private def marker(dir: String, t: String) = Paths.get(dir, s"_done_$t")
+
+  def save(index: Index, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis()
+
+    def writeTable(name: String)(w: => Unit): Unit =
+      if (!Files.exists(marker(dir, name))) {
+        w
+        Files.createFile(marker(dir, name))
+      }
+
+    // postings partitioned by docid segment (the build salt): query-time
+    // term lookups prune via parquet row-group stats on the sorted term
+    // column inside every segment; segment dirs are the parallel unit.
+    writeTable("postings") {
+      index.postings
+        .withColumn("segment",
+          shiftright(col("docid"), IndexBuilder.BucketShift))
+        .repartition(col("segment"))
+        .sortWithinPartitions("term", "docid")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("segment").parquet(s"$dir/postings")
+    }
+    writeTable("docs") {
+      index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+    }
+    writeTable("doclen") {
+      index.doclen.write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+    }
+    writeTable("termstats") {
+      index.termStats.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+    }
+
+    // lineage + metrics manifest (north rule): per-segment row counts,
+    // term counts, build wall-clock.
+    if (!Files.exists(marker(dir, "manifest"))) {
+      val buildMillis = System.currentTimeMillis() - t0
+      index.spark.read.parquet(s"$dir/postings")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("postingCount"),
+          approx_count_distinct(col("term")).as("termCountApprox"),
+          max(col("docid")).as("maxDocid"))
+        .withColumn("buildMillis", lit(buildMillis))
+        .withColumn("snapshotId", lit(t0))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+      Files.createFile(marker(dir, "manifest"))
+    }
+
+    writeStats(index.stats, s"$dir/stats.json")
+
+    // atomic commit: tmp + move
+    val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
+      s""""tables":[${Tables.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""numDocs":${index.stats.numDocs}}"""
+    val tmp = Paths.get(dir, "SNAPSHOT.json.tmp")
+    Files.writeString(tmp, snap)
+    Files.move(tmp, Paths.get(dir, "SNAPSHOT.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    require(exists(dir), s"no committed index snapshot at $dir")
+    val stats = readStats(s"$dir/stats.json")
+    new Index(spark,
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/postings")
+        .select("term", "field", "docid", "tf", "positions"),
+      spark.read.parquet(s"$dir/doclen"),
+      spark.read.parquet(s"$dir/termstats"),
+      stats)
+  }
+
+  def writeStats(stats: IndexStats, path: String): Unit = {
+    val fields = stats.fields.values.map(f =>
+      s"""{"field":"${f.field}","docCount":${f.docCount},""" +
+      s""""collectionLength":${f.collectionLength}}""").mkString(",")
+    Files.writeString(Paths.get(path),
+      s"""{"numDocs":${stats.numDocs},"fields":[$fields]}""")
+  }
+
+  def readStats(path: String): IndexStats = {
+    val s = Files.readString(Paths.get(path))
+    val numDocs = """"numDocs":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    val fieldRe =
+      """\{"field":"([^"]+)","docCount":(\d+),"collectionLength":(\d+)\}""".r
+    val fields = fieldRe.findAllMatchIn(s).map { m =>
+      m.group(1) -> FieldStats(m.group(1), m.group(2).toLong, m.group(3).toLong)
+    }.toMap
+    IndexStats(numDocs, fields)
+  }
+}
