@@ -1,0 +1,210 @@
+package graft.api
+
+import graft.analysis.AnalyzerConfig
+import graft.index.{Index, IndexBuilder, IndexConfig}
+import graft.model.{BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-contract query catalog: one entry per implemented operator
+  * (SURVEY §2 + the training-data-pipeline ops), each paired where
+  * SQL-expressible with DuckDB oracle SQL over the same parquet tables.
+  *
+  * The search-engine queries run through the REAL engine path (corpus →
+  * [[IndexBuilder]] → [[graft.exec.Planner]] → top-k), not hand-written
+  * shortcuts; the oracle SQL re-derives the same answer relationally —
+  * float-faithfully for BM25 (DuckDB FLOAT arithmetic is IEEE single,
+  * same as the engine's float-exact Catalyst expressions), exactly for
+  * integer-valued scores, and rounded to 6 decimals only where `pow` is
+  * involved (libm vs StrictMath can differ in the last ulp).
+  *
+  * The documents corpus maps to the engine's input shape
+  * (BASELINE.json input_hint) as: repo = "r", path = lpad(doc_id, 10),
+  * commit = "c", content = text ⇒ extid = "r/<lpad doc_id>@c", so the
+  * extid tiebreak order equals doc_id order and the oracle can rank by
+  * doc_id.
+  */
+object EntryQueries {
+
+  val Bm25Model: BM25 = BM25(1.2f, 0.75f, 0f)
+  val IndriModel: Indri = Indri(2500f, 0.4f)
+  private val cfg = AnalyzerConfig.code
+  private val Stop = AnalyzerConfig.luceneEnglishStopwords.toSeq.sorted
+
+  // ------------------------------------------------------------ tables
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** documents → the engine's corpus shape. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      lit("r").as("repo"),
+      lpad(col("doc_id").cast("string"), 10, "0").as("path"),
+      lit("c").as("commit"),
+      col("lang"),
+      col("text").as("content"))
+
+  // ------------------------------------------------- engine cache
+
+  final case class Ctx(index: Index, engine: SearchEngine)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Ctx]()
+
+  def ctx(spark: SparkSession, sfDir: String): Ctx =
+    cache.computeIfAbsent(sfDir, _ => {
+      val idx = IndexBuilder
+        .build(spark, corpus(spark, sfDir), IndexConfig(cfg)).cacheAll()
+      Ctx(idx, new SearchEngine(idx, cfg))
+    })
+
+  /** docid → doc_id (path round-trips the id). */
+  private def docIdMap(c: Ctx): DataFrame =
+    c.index.docs.select(col("docid"), col("path").cast("long").as("doc_id"))
+
+  // -------------------------------------------- engine-side helpers
+
+  /** Ranked search → (doc_id, rank, score). */
+  private def searchQ(q: String, model: RetrievalModel)
+      (spark: SparkSession, sfDir: String): DataFrame = {
+    val c = ctx(spark, sfDir)
+    c.engine.search(q, model, 100)
+      .join(docIdMap(c), "docid")
+      .select(col("doc_id"), col("rank"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Full scored set (no top-k) → (doc_id, score[rounded]). */
+  private def scoredQ(q: String, model: RetrievalModel, roundTo: Int = -1)
+      (spark: SparkSession, sfDir: String): DataFrame = {
+    val c = ctx(spark, sfDir)
+    val s = c.engine.scores(q, model).join(docIdMap(c), "docid")
+    val sc = if (roundTo >= 0) round(col("score"), roundTo) else col("score")
+    s.select(col("doc_id"), sc.as("score")).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- index build products (O1 leaf scan, stats, doc store)
+    "q_doc_sha256" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.docs.select(col("path").cast("long").as("doc_id"), col("sha256"))
+        .orderBy("doc_id")
+    }),
+    "q_doclen" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.doclen.filter(col("field") === "body")
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("len")).orderBy("doc_id")
+    }),
+    "q_termstats" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.termStats.filter(col("field") === "body")
+        .select(col("term"), col("df"), col("ctf")).orderBy("term")
+    }),
+    "q_collstats" -> ((s, d) => {
+      val c = ctx(s, d)
+      val fs = c.index.fieldStats("body")
+      import s.implicits._
+      Seq((c.index.stats.numDocs, fs.docCount, fs.collectionLength,
+        fs.avgDocLen.toDouble))
+        .toDF("num_docs", "doc_count", "collection_length", "avg_doc_len")
+    }),
+    "q_postings" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.postings
+        .filter(col("term") === "spark" && col("field") === "body")
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("tf").cast("long").as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    // --- retrieval models + score-combining operators (O5-O12)
+    "q_bm25_topk" -> searchQ("spark hash join merge", Bm25Model),
+    "q_bm25_dup" -> searchQ("#SUM(spark spark hash)", Bm25Model),
+    "q_ranked_and" -> searchQ("#AND(hash merge)", RankedBoolean),
+    "q_ranked_or" -> searchQ("#OR(vector stream)", RankedBoolean),
+    "q_unranked_and" -> searchQ("#AND(spark window)", UnrankedBoolean),
+    "q_indri_and" -> scoredQ("#AND(spark merge)", IndriModel, 6),
+    "q_wand" -> scoredQ("#WAND(0.7 spark 0.3 merge)", IndriModel, 6),
+    "q_wsum" -> scoredQ("#WSUM(0.4 spark 0.6 merge)", IndriModel),
+
+    // --- position-bearing operators (O2-O4)
+    "q_syn" -> searchQ("#SYN(hash merge)", RankedBoolean),
+    "q_near" -> searchQ("#NEAR/1(hash join)", RankedBoolean),
+    "q_near4" -> searchQ("#NEAR/4(data stream filter)", RankedBoolean),
+    "q_window" -> searchQ("#WINDOW/8(spark merge batch)", RankedBoolean),
+
+    // --- text analysis
+    "q_token_stats" -> ((s, d) => {
+      val (n, dis) = TextOps.tokenStats(col("text"))
+      documents(s, d).select(col("doc_id"), n.as("n_tokens"),
+        dis.as("n_distinct")).orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text"), Stop)
+        .map { case (nm, c) => c.as(nm) }
+      documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.langIdCol(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // --- deduplication
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactCanonical(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "canonical_id", "text_md5").orderBy("doc_id")),
+    "q_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", "source", 3, 0.05)
+        .orderBy("a_id", "b_id")),
+    "q_minhash" -> ((s, d) =>
+      Dedup.minhashSignature(documents(s, d), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+    "q_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignature(documents(s, d), "doc_id", "text", 3))
+        .orderBy("a_id", "b_id")),
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    // --- similarity search over embeddings
+    "q_ann_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
+      Similarity.cosineTopK(e, "vec_id", "embedding", probe, 0L, 20)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
+      Similarity.lshTopK(e, "vec_id", "embedding", probe, 0L, 10)
+    }),
+
+    // --- multimodal binary-column plumbing
+    "q_media_meta" -> ((s, d) =>
+      Multimodal.metadata(
+        Multimodal.withBinary(documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+    "q_media_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(s,
+        Multimodal.withBinary(documents(s, d), "doc_id", "text"))
+      feats.toDF().select(col("doc_id"), col("n_bytes"), col("magic"),
+        element_at(col("feature"), 3).cast("double").as("avg_byte"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = OracleGen.all
+}

@@ -1,0 +1,372 @@
+package graft.api
+
+import graft.analysis.AnalyzerConfig
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Generates the DuckDB oracle SQL for [[EntryQueries]]. Every constant
+  * (BM25/Indri params, minhash permutation table, LSH hyperplanes,
+  * fingerprint modulus) is taken from the SAME Scala definitions the
+  * engine uses — single source of truth.
+  *
+  * Numeric-literal discipline (DuckDB 1.0):
+  *  - double literals are written with an `e0` suffix (plain `0.5` parses
+  *    as DECIMAL and silently changes arithmetic);
+  *  - float-faithful scoring wraps every operand in CAST(... AS FLOAT) —
+  *    DuckDB FLOAT arithmetic is IEEE single precision, matching the
+  *    engine's float-exact Catalyst expressions bit-for-bit;
+  *  - `sum()` is wrapped in CAST(... AS BIGINT) (DuckDB returns HUGEINT).
+  */
+object OracleGen {
+
+  // ------------------------------------------------------- literals
+
+  private def f(v: Float): String = {
+    val s = java.lang.Float.toString(v)
+    s"CAST($s AS FLOAT)"
+  }
+  private def d(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+  private def h32(x: String): String =
+    s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  // ------------------------------------------------- shared CTE text
+
+  private val Toks0 =
+    "toks0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)"
+  private val ToksU =
+    "toks AS (SELECT doc_id, unnest(toks) AS term, " +
+    "unnest(generate_series(1, len(toks))) AS pos1 FROM toks0)"
+  private val Dl = "dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id)"
+
+  private def withToks(extra: String*): String =
+    "WITH " + (Seq(Toks0, ToksU, Dl) ++ extra).mkString(",\n ")
+
+  /** Shingle-list expression over a `toks` list column (word n=3). */
+  private def sh3(toks: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - 2, 0)), " +
+    s"i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])))"
+
+  /** Top-100 rank wrapper: score desc, doc_id asc (the extid tiebreak). */
+  private def ranked(body: String): String =
+    "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) " +
+    s"AS INT) AS rank, score FROM ($body) " +
+    "ORDER BY score DESC, doc_id ASC LIMIT 100"
+
+  private def termCte(i: Int, t: String): String =
+    s"t$i AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = '$t' GROUP BY doc_id)"
+
+  private def leftJoins(n: Int): String =
+    (0 until n).map(i => s"LEFT JOIN t$i ON t$i.doc_id = dl.doc_id").mkString(" ")
+
+  private def anyPresent(n: Int): String =
+    (0 until n).map(i => s"t$i.tf IS NOT NULL").mkString(" OR ")
+
+  // ------------------------------------------------------ BM25 / Indri
+
+  private val k1 = EntryQueries.Bm25Model.k1
+  private val b = EntryQueries.Bm25Model.b
+  private val mu = EntryQueries.IndriModel.mu
+  private val lambda = EntryQueries.IndriModel.lambda
+
+  /** Float-faithful BM25 #SUM top-100 (QryopSlScore.java:121-168 float
+    * casts mirrored in SQL FLOAT arithmetic). */
+  def bm25TopK(terms: Seq[String]): String = {
+    val n = terms.length
+    val ctes = terms.zipWithIndex.map { case (t, i) => termCte(i, t) }
+    val consts = "c AS (SELECT " +
+      "CAST((SELECT CAST(sum(len) AS BIGINT) FROM dl) AS FLOAT) / " +
+      "CAST((SELECT count(*) FROM dl) AS FLOAT) AS avgf, " +
+      terms.indices.map { i =>
+        val df = s"(SELECT count(*) FROM t$i)"
+        s"CAST(ln(((SELECT count(*) FROM documents) - $df + 0.5e0) / ($df + 0.5e0)) AS FLOAT) AS rsj$i"
+      }.mkString(", ") + ")"
+    def score(i: Int): String =
+      s"CAST(c.rsj$i * (CAST(t$i.tf AS FLOAT) / (CAST(t$i.tf AS FLOAT) + " +
+      s"${f(k1)} * (${f(1.0f - b)} + (${f(b)} * CAST(dl.len AS FLOAT)) / c.avgf))) AS DOUBLE)"
+    val sum = terms.indices.foldLeft("0.0e0") { (acc, i) =>
+      s"($acc + COALESCE(${score(i)}, 0.0e0))"
+    }
+    val body = s"SELECT dl.doc_id AS doc_id, $sum AS score " +
+      s"FROM dl CROSS JOIN c ${leftJoins(n)} WHERE ${anyPresent(n)}"
+    withToks(ctes :+ consts: _*) + "\n" + ranked(body)
+  }
+
+  /** Indri child value: Dirichlet score when present, default otherwise
+    * (QryopSlScore.java:178-221, 233-247 — all-float, mirrored). */
+  private def indriChild(i: Int): String = {
+    val present =
+      s"CAST((${f(lambda)} * (CAST(t$i.tf AS FLOAT) + ${f(mu)} * c.mle$i)) / " +
+      s"(CAST(dl.len AS FLOAT) + ${f(mu)}) + ${f(1.0f - lambda)} * c.mle$i AS DOUBLE)"
+    val dflt =
+      s"CAST(((${f(lambda)} * ${f(mu)}) / (CAST(dl.len AS FLOAT) + ${f(mu)}) + " +
+      s"${f(1.0f - lambda)}) * c.mle$i AS DOUBLE)"
+    s"CASE WHEN t$i.tf IS NOT NULL THEN $present ELSE $dflt END"
+  }
+
+  private def indriQuery(terms: Seq[String], scoreExpr: String,
+                         roundTo: Int): String = {
+    val n = terms.length
+    val ctes = terms.zipWithIndex.map { case (t, i) => termCte(i, t) }
+    val st = "st AS (SELECT CAST(sum(len) AS BIGINT) AS cl FROM dl)"
+    val consts = "c AS (SELECT " + terms.indices.map { i =>
+      s"CAST((SELECT CAST(sum(tf) AS BIGINT) FROM t$i) AS FLOAT) / " +
+      s"CAST((SELECT cl FROM st) AS FLOAT) AS mle$i"
+    }.mkString(", ") + ")"
+    val body = s"SELECT dl.doc_id AS doc_id, $scoreExpr AS score " +
+      s"FROM dl CROSS JOIN c ${leftJoins(n)} WHERE ${anyPresent(n)}"
+    val score = if (roundTo >= 0) s"round(score, $roundTo)" else "score"
+    withToks(ctes ++ Seq(st, consts): _*) +
+      s"\nSELECT doc_id, $score AS score FROM ($body) ORDER BY doc_id"
+  }
+
+  /** #AND(Indri): geo-mean of child values, round 6 (pow ulp). */
+  def indriAnd(terms: Seq[String]): String = {
+    val prod = terms.indices.foldLeft("1.0e0")((acc, i) =>
+      s"($acc * (${indriChild(i)}))")
+    indriQuery(terms, s"pow($prod, ${d(1.0 / terms.length)})", 6)
+  }
+
+  /** #WAND: product of child^w, round 6. Weights already normalized. */
+  def indriWand(terms: Seq[String], wn: Seq[Float]): String = {
+    val prod = terms.indices.foldLeft("1.0e0")((acc, i) =>
+      s"($acc * pow((${indriChild(i)}), ${d(wn(i).toDouble)}))")
+    indriQuery(terms, prod, 6)
+  }
+
+  /** #WSUM: weighted sum — linear, exact (no rounding). */
+  def indriWsum(terms: Seq[String], wn: Seq[Float]): String = {
+    val sum = terms.indices.foldLeft("0.0e0")((acc, i) =>
+      s"($acc + (${indriChild(i)}) * ${d(wn(i).toDouble)})")
+    indriQuery(terms, sum, -1)
+  }
+
+  /** Reference weight normalization (QryopSlWAnd.java:36-45): float sum. */
+  def normWeights(ws: Seq[Float]): Seq[Float] = {
+    var total = 0.0f
+    ws.foreach(total += _)
+    ws.map(_ / total)
+  }
+
+  // ------------------------------------------------- boolean / position
+
+  def rankedAnd(t0: String, t1: String): String =
+    withToks(termCte(0, t0), termCte(1, t1)) + "\n" + ranked(
+      "SELECT doc_id, CAST(least(t0.tf, t1.tf) AS DOUBLE) AS score " +
+      "FROM t0 JOIN t1 USING (doc_id)")
+
+  def unrankedAnd(t0: String, t1: String): String =
+    withToks(termCte(0, t0), termCte(1, t1)) + "\n" + ranked(
+      "SELECT doc_id, 1.0e0 AS score FROM t0 JOIN t1 USING (doc_id)")
+
+  def rankedOr(t0: String, t1: String): String =
+    withToks(termCte(0, t0), termCte(1, t1)) + "\n" + ranked(
+      "SELECT dl.doc_id AS doc_id, CAST(greatest(COALESCE(t0.tf, 0), " +
+      "COALESCE(t1.tf, 0)) AS DOUBLE) AS score " +
+      s"FROM dl ${leftJoins(2)} WHERE ${anyPresent(2)}")
+
+  def rankedSyn(t0: String, t1: String): String =
+    withToks(termCte(0, t0), termCte(1, t1)) + "\n" + ranked(
+      "SELECT dl.doc_id AS doc_id, CAST(COALESCE(t0.tf, 0) + " +
+      "COALESCE(t1.tf, 0) AS DOUBLE) AS score " +
+      s"FROM dl ${leftJoins(2)} WHERE ${anyPresent(2)}")
+
+  /** #NEAR/1(a b): the greedy chain degenerates to exact adjacent-pair
+    * intersection when the args are distinct terms (positions can't
+    * collide), so tf = |(P_a + 1) ∩ P_b|. */
+  def near1(t0: String, t1: String): String = {
+    val p0 = s"p0 AS (SELECT doc_id, list_sort(list(pos1 - 1)) AS ps FROM toks WHERE term = '$t0' GROUP BY doc_id)"
+    val p1 = s"p1 AS (SELECT doc_id, list_sort(list(pos1 - 1)) AS ps FROM toks WHERE term = '$t1' GROUP BY doc_id)"
+    val nr = "nr AS (SELECT doc_id, len(list_intersect(list_transform(" +
+      "p0.ps, p -> p + 1), p1.ps)) AS tf FROM p0 JOIN p1 USING (doc_id))"
+    withToks(p0, p1, nr) + "\n" + ranked(
+      "SELECT doc_id, CAST(tf AS DOUBLE) AS score FROM nr WHERE tf > 0")
+  }
+
+  // -------------------------------------------------------- text ops
+
+  def tokenStats: String =
+    s"WITH $Toks0\nSELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+    "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct " +
+    "FROM toks0 ORDER BY doc_id"
+
+  def quality(stop: Seq[String]): String = {
+    val stopList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"WITH $Toks0, q AS (SELECT t.doc_id AS doc_id, len(t.toks) AS nt, " +
+    "CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS na, " +
+    "CAST(length(d.text) AS BIGINT) AS nc, " +
+    s"len(list_filter(t.toks, x -> list_contains($stopList, x))) AS ns, " +
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t.toks, " +
+    "x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS tc " +
+    "FROM toks0 t JOIN documents d USING (doc_id))\n" +
+    "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, " +
+    "CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / CAST(nc AS DOUBLE) ELSE 0.0e0 END AS alpha_ratio, " +
+    "CASE WHEN nt > 0 THEN CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0e0 END AS stopword_ratio, " +
+    "CASE WHEN nt > 0 THEN CAST(tc AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0e0 END AS avg_token_len " +
+    "FROM q ORDER BY doc_id"
+  }
+
+  def langId: String = {
+    val counts = TextOps.langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      lang -> s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT)"
+    }
+    val cdefs = counts.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")
+    val best = "greatest(" + counts.map("c_" + _._1).mkString(", ") + ")"
+    val cases = counts.map { case (l, _) =>
+      s"WHEN c_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"WITH $Toks0, lc AS (SELECT doc_id, $cdefs FROM toks0), " +
+    s"lb AS (SELECT *, $best AS best FROM lc)\n" +
+    s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lb ORDER BY doc_id"
+  }
+
+  def fingerprint: String =
+    s"WITH $Toks0\nSELECT doc_id, CASE WHEN len(toks) > 0 THEN " +
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> ${h32("t")})), " +
+    s"(a, b) -> (a * ${TextOps.FpMul} + b) % ${TextOps.FpMod}) " +
+    "ELSE CAST(0 AS BIGINT) END AS fp FROM toks0 ORDER BY doc_id"
+
+  // ----------------------------------------------------------- dedup
+
+  def dedupExact: String =
+    "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id, " +
+    "md5(text) AS text_md5 FROM documents ORDER BY doc_id"
+
+  def jaccardPairs(threshold: Double): String =
+    s"WITH s AS (SELECT doc_id, source, ${sh3(
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')")} AS sh FROM documents)\n" +
+    "SELECT a_id, b_id, jaccard FROM (" +
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+    "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
+    "FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id " +
+    "WHERE len(list_distinct(a.sh || b.sh)) > 0) " +
+    s"WHERE jaccard >= ${d(threshold)} ORDER BY a_id, b_id"
+
+  private def minhashAggs: String =
+    Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.MinhashP}) AS mh$i"
+    }.mkString(", ")
+
+  private val SigCtes =
+    s"shd AS (SELECT doc_id, ${sh3("toks")} AS sh FROM toks0), " +
+    "shu AS (SELECT doc_id, unnest(sh) AS s FROM shd), " +
+    s"shh AS (SELECT doc_id, ${h32("s")} AS h FROM shu), " +
+    s"sig AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id)"
+
+  def minhash: String =
+    s"WITH $Toks0, $SigCtes\nSELECT doc_id, " +
+    Dedup.MinhashAB.indices.map(i => s"mh$i").mkString(", ") +
+    " FROM sig ORDER BY doc_id"
+
+  def lshPairs: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val ks = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $ks) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH $Toks0, $SigCtes, bands AS ($bandSelects)\n" +
+    "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id " +
+    "ORDER BY a_id, b_id"
+  }
+
+  def simhash: String = {
+    val sums = (0 until 32).map(bb =>
+      s"sum(CASE WHEN (h >> $bb) & 1 = 1 THEN 1 ELSE -1 END) AS s$bb").mkString(", ")
+    val bits = (0 until 32).map(bb =>
+      s"(CASE WHEN s$bb > 0 THEN CAST(${1L << bb} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"WITH $Toks0, ${ToksU}, th AS (SELECT doc_id, ${h32("term")} AS h FROM toks), " +
+    s"bs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)\n" +
+    s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bs ORDER BY doc_id"
+  }
+
+  // ------------------------------------------------------ similarity
+
+  /** Deterministic left-fold dot product (mirrors the engine's
+    * `aggregate(zip_with(...), 0.0, +)`). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, len($a)), " +
+    s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def annCosine(k: Int): String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "p AS (SELECT v AS pv FROM e WHERE vec_id = 0)\n" +
+    s"SELECT vec_id, sim FROM (SELECT e.vec_id AS vec_id, ${cosSql("e.v", "p.pv")} AS sim " +
+    "FROM e CROSS JOIN p WHERE e.vec_id <> 0) " +
+    s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
+
+  private def bucketSql(v: String): String =
+    (0 until Similarity.LshBits).map { i =>
+      val w = (0 until Similarity.Dim)
+        .map(j => d(Similarity.lshWeight(i, j).toDouble)).mkString("[", ", ", "]")
+      val dot = s"list_reduce(list_prepend(0.0e0, list_transform(" +
+        s"generate_series(1, len($v)), j -> $v[j] * ($w)[j])), (x, y) -> x + y)"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  def annLsh(k: Int): String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "p AS (SELECT v AS pv FROM e WHERE vec_id = 0), " +
+    s"eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bkt FROM e), " +
+    s"bp AS (SELECT ${bucketSql("pv")} AS bkt FROM p)\n" +
+    s"SELECT vec_id, sim FROM (SELECT eb.vec_id AS vec_id, ${cosSql("eb.v", "p.pv")} AS sim " +
+    "FROM eb CROSS JOIN p CROSS JOIN bp WHERE eb.bkt = bp.bkt AND eb.vec_id <> 0) " +
+    s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
+
+  // ------------------------------------------------------ multimodal
+
+  def mediaMeta: String =
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+    "upper(substr(hex(encode(text)), 1, 8)) AS magic FROM documents ORDER BY doc_id"
+
+  // ------------------------------------------------------------- all
+
+  def all: Map[String, String] = {
+    val wandN = normWeights(Seq(0.7f, 0.3f))
+    val wsumN = normWeights(Seq(0.4f, 0.6f))
+    Map(
+      "q_doc_sha256" -> "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id",
+      "q_doclen" -> (withToks() + "\nSELECT doc_id, len FROM dl ORDER BY doc_id"),
+      "q_termstats" -> (withToks(
+        "tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)") +
+        "\nSELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ctf FROM tfs GROUP BY term ORDER BY term"),
+      "q_collstats" -> (withToks() +
+        "\nSELECT (SELECT count(*) FROM documents) AS num_docs, " +
+        "(SELECT count(*) FROM dl) AS doc_count, " +
+        "(SELECT CAST(sum(len) AS BIGINT) FROM dl) AS collection_length, " +
+        "CAST(CAST((SELECT CAST(sum(len) AS BIGINT) FROM dl) AS FLOAT) / " +
+        "CAST((SELECT count(*) FROM dl) AS FLOAT) AS DOUBLE) AS avg_doc_len"),
+      "q_postings" -> (withToks() +
+        "\nSELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"),
+      "q_bm25_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),
+      "q_bm25_dup" -> bm25TopK(Seq("spark", "spark", "hash")),
+      "q_ranked_and" -> rankedAnd("hash", "merge"),
+      "q_ranked_or" -> rankedOr("vector", "stream"),
+      "q_unranked_and" -> unrankedAnd("spark", "window"),
+      "q_indri_and" -> indriAnd(Seq("spark", "merge")),
+      "q_wand" -> indriWand(Seq("spark", "merge"), wandN),
+      "q_wsum" -> indriWsum(Seq("spark", "merge"), wsumN),
+      "q_syn" -> rankedSyn("hash", "merge"),
+      "q_near" -> near1("hash", "join"),
+      "q_token_stats" -> tokenStats,
+      "q_quality" -> quality(AnalyzerConfig.luceneEnglishStopwords.toSeq.sorted),
+      "q_lang_id" -> langId,
+      "q_fingerprint" -> fingerprint,
+      "q_dedup_exact" -> dedupExact,
+      "q_jaccard_pairs" -> jaccardPairs(0.05),
+      "q_minhash" -> minhash,
+      "q_lsh_pairs" -> lshPairs,
+      "q_simhash" -> simhash,
+      "q_ann_cosine" -> annCosine(20),
+      "q_ann_lsh" -> annLsh(10),
+      "q_media_meta" -> mediaMeta
+    )
+  }
+}

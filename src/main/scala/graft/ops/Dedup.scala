@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  *
+  *  - exact:    hash-groupBy on md5(text) — one shuffle on the hash key,
+  *              uniform by construction (no skew: hash keys).
+  *  - n-gram Jaccard: exact similarity on shingle sets for candidate
+  *              pairs inside a blocking key (never the full cross join).
+  *  - MinHash+LSH: shingle → 16 minhashes → 4 bands → bucket self-join.
+  *              At 100 TB the band-bucket join is the only shuffle and its
+  *              keys are hashes (uniform); candidate verification is a
+  *              narrow follow-up join.
+  *  - SimHash:  32-bit signature per doc, pure expressions.
+  *
+  * All hashes derive from the md5 builtin (portable → DuckDB-oracle
+  * checkable); everything except the shingle builder is Column
+  * expressions inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Distinct word-`n`-gram shingles of the analyzed token stream, joined
+    * by a single space. */
+  def shinglesCol(text: Column, n: Int): Column = {
+    val toks = TextOps.tokensCol(text)
+    // Spark's sequence(0, k) with k < 0 counts DOWN — guard short docs.
+    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idxs,
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Exact dedup: every doc mapped to the smallest id sharing its md5.
+    * `min(id) over (partition by md5)` — single hash shuffle. */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), md5(col(textCol)).as("text_md5"))
+    val canon = hashed.groupBy("text_md5").agg(min(col("id")).as("canonical_id"))
+    hashed.join(canon, "text_md5").select("id", "canonical_id", "text_md5")
+  }
+
+  /** Exact n-gram Jaccard for all intra-block pairs with sim ≥ threshold.
+    * Blocking keeps the pair join linear-ish; at scale pass a selective
+    * block (e.g. an LSH band from [[minhashBands]]) instead of a corpus
+    * attribute. Jaccard = |A∩B| / |A∪B| on DISTINCT shingles (exact
+    * integer ratio → bit-exact across engines). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shinglesCol(col(textCol), n).as("sh"))
+    val a = sh.select(col("block"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("block"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("long"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash permutation constants: 16 fixed (a, b) pairs, a odd < 2^30,
+    * over the prime p = 4294967311 > 2^32. Single source of truth — the
+    * DuckDB oracle SQL is generated from this same array. */
+  val MinhashP = 4294967311L
+  val MinhashAB: Seq[(Long, Long)] = Seq(
+    (887659L, 327461L), (394007L, 921953L), (743321L, 89923L),
+    (180511L, 631517L), (550687L, 239203L), (962447L, 475531L),
+    (122597L, 842393L), (671293L, 118057L), (438131L, 763921L),
+    (291679L, 524287L), (815389L, 60763L), (99907L, 987433L),
+    (721577L, 350377L), (260951L, 709043L), (609613L, 190031L),
+    (333667L, 881077L))
+
+  /** Per-doc minhash signature columns mh0..mh15:
+    * `min((a_i * h32(shingle) + b_i) mod p)` over the shingle set. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shinglesCol(col(textCol), n)).as("s"))
+      .withColumn("h", TextOps.h32(col("s")))
+    val aggs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"mh$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: 4 bands of 4 rows → (id, band, key) rows. Docs sharing a
+    * (band, key) are near-dup candidates. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bands = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)
+          .as("key"))
+    }
+    sig.select(col("id"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH: distinct (a, b) sharing any
+    * band bucket. The self-join shuffles on (band, key) — hash-uniform. */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
+    val l = bands.select(col("band"), col("key"), col("id").as("a_id"))
+    val r = bands.select(col("band"), col("key"), col("id").as("b_id"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** 32-bit SimHash over the token stream (term weight = term frequency,
+    * applied by iterating instances): bit b set iff
+    * `Σ_tokens ((h32(tok)>>b)&1 == 1 ? +1 : -1) > 0`. Pure expressions:
+    * explode + 32 conditional sums + weighted recombination. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokensCol(col(textCol))).as("t"))
+      .withColumn("h", TextOps.h32(col("t")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$b")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), hash.as("simhash"))
+  }
+}
