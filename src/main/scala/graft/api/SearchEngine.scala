@@ -22,6 +22,41 @@ final class SearchEngine(val index: Index,
     new Planner(index, model).plan(ast)
   }
 
+  /** Pruned BM25 top-k via block-max WAND over the compressed block
+    * table, when the query lowers to a bag-of-words `#SUM` (free text
+    * under BM25 always does — the default-op wrap). Falls back to the
+    * exhaustive planner for any other shape. Rank-identical to [[search]]
+    * by construction (property-tested in BlockMaxWandSpec). */
+  def searchPruned(queryText: String, model: RetrievalModel,
+                   k: Int = 100): DataFrame = model match {
+    case bm: graft.model.BM25 =>
+      val ast = QueryParser.parseQuery(queryText, model, analyzer)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Query syntax is incorrect. $queryText"))
+      bagOfWords(ast) match {
+        case Some((children, field)) =>
+          rank(graft.exec.BlockMaxWand.topK(
+            index, index.blocks, bm, children, field, k), k)
+        case None => searchAst(ast, model, k)
+      }
+    case _ => search(queryText, model, k)
+  }
+
+  /** `#SUM(t1 t2 ...)` over one field → the child-ordered term bag. */
+  private def bagOfWords(ast: Qry): Option[(Seq[String], String)] = ast match {
+    case Sum(args) =>
+      val terms = args.map {
+        case Score(Term(t, f)) => Some((t, f))
+        case _                 => None
+      }
+      if (terms.forall(_.isDefined)) {
+        val ts = terms.flatten
+        val fields = ts.map(_._2).distinct
+        if (fields.size == 1) Some((ts.map(_._1), fields.head)) else None
+      } else None
+    case _ => None
+  }
+
   /** Ranked top-k: descending score, ascending extid tiebreak
     * (`ScoreList.java:54-80`) — the tiebreak is part of the distributed
     * sort key, so `orderBy(...).limit(k)` lowers to Catalyst's

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Per-field collection statistics — the reference's
   * `sumTotalTermFreq(field)` / `getDocCount(field)` pair
@@ -33,10 +33,20 @@ final class Index(
     val postings: DataFrame,
     val doclen: DataFrame,
     val termStats: DataFrame,
-    val stats: IndexStats) extends Serializable {
+    val stats: IndexStats,
+    /** Pre-built compressed block table (set when loaded from an
+      * [[IndexStore]] snapshot); otherwise derived on demand. */
+    blocksOpt: Option[Dataset[PostingBlock]] = None) extends Serializable {
 
   def fieldStats(field: String): FieldStats =
     stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))
+
+  /** Delta-gap + varbyte compressed posting blocks (north rule), keyed by
+    * (term, field, segment) with block-max metadata — the serving form of
+    * the index and the input of [[graft.exec.BlockMaxWand]]. */
+  lazy val blocks: Dataset[PostingBlock] =
+    blocksOpt.getOrElse(
+      PostingBlocks.fromPostings(spark, postings, doclen))
 
   /** Forward index (doc vector), built on demand for PRF / LeToR —
     * reference `TermVector` (`QryEval/src/TermVector.java:19-89`). */

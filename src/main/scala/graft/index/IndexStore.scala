@@ -28,7 +28,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object IndexStore {
 
-  private val Tables = Seq("docs", "postings", "doclen", "termstats")
+  private val Tables =
+    Seq("docs", "postings", "postings_blocks", "doclen", "termstats")
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, "SNAPSHOT.json"))
@@ -56,6 +57,13 @@ object IndexStore {
         .sortWithinPartitions("term", "docid")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings")
+    }
+    // the compressed serving form (north rule: delta-gap + varbyte blocks
+    // with block-max metadata), partitioned like the raw postings
+    writeTable("postings_blocks") {
+      index.blocks
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("segment").parquet(s"$dir/postings_blocks")
     }
     writeTable("docs") {
       index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
@@ -97,13 +105,21 @@ object IndexStore {
   def load(spark: SparkSession, dir: String): Index = {
     require(exists(dir), s"no committed index snapshot at $dir")
     val stats = readStats(s"$dir/stats.json")
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$dir/postings_blocks")
+      .withColumn("segment", col("segment").cast("long"))
+      .select("term", "field", "segment", "blockId", "firstDocid",
+        "lastDocid", "df", "ctf", "maxTf", "minLen", "maxLen", "block",
+        "lens")
+      .as[PostingBlock]
     new Index(spark,
       spark.read.parquet(s"$dir/docs"),
       spark.read.parquet(s"$dir/postings")
         .select("term", "field", "docid", "tf", "positions"),
       spark.read.parquet(s"$dir/doclen"),
       spark.read.parquet(s"$dir/termstats"),
-      stats)
+      stats,
+      blocksOpt = Some(blocks))
   }
 
   def writeStats(stats: IndexStats, path: String): Unit = {
