@@ -58,8 +58,26 @@ object Main {
     val out = params("trecEvalOutputPath")
     new java.io.File(out).delete() // reference appends; start fresh per run
 
+    val fb = params.get("fb").exists(_.equalsIgnoreCase("true"))
+    params.get("fbExpansionQueryFile").foreach(new java.io.File(_).delete())
+
     val t0 = System.nanoTime()
-    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q) =>
+    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q0) =>
+      val q = if (!fb) q0 else {
+        // PRF rewrite (`QryEval/src/QryEval.java:154-185`)
+        val fbp = graft.exec.Expansion.FbParams(
+          params("fbDocs").toInt, params("fbTerms").toInt,
+          params("fbMu").toDouble, params("fbOrigWeight").toDouble)
+        val initial = params.get("fbInitialRankingFile").map { f =>
+          TrecWriter.readTopDocs(f, qid, fbp.fbDocs, engine.index)
+        }
+        val (learned, combined) = engine.expand(q0, model, fbp, initial)
+        params.get("fbExpansionQueryFile").foreach { f =>
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(f, true))
+          try w.write(s"$qid: $learned\n") finally w.close() // QryEval.java:617-632
+        }
+        combined
+      }
       val ranked = engine.search(q, model, 100)
       TrecWriter.writeResults(out, qid, ranked)
     }

@@ -22,6 +22,31 @@ final class SearchEngine(val index: Index,
     new Planner(index, model).plan(ast)
   }
 
+  /** Pseudo-relevance-feedback expansion (SURVEY §2.6; orchestration
+    * `QryEval/src/QryEval.java:154-185`): evaluate the original query,
+    * learn a `#WAND` term query from the top `fbDocs` docs' forward-index
+    * vectors, and combine
+    * `#WAND(fbOrigWeight original (1-fbOrigWeight) learned)`.
+    * Returns (learnedQuery, combinedQuery); evaluate the combined query
+    * with [[search]]. `initial` overrides the fresh evaluation when a
+    * prior ranking is supplied (fbInitialRankingFile). */
+  def expand(queryText: String, model: RetrievalModel,
+             fb: graft.exec.Expansion.FbParams,
+             initial: Option[Seq[(Long, Double)]] = None): (String, String) = {
+    val topDocs = initial.getOrElse {
+      search(queryText, model, fb.fbDocs)
+        .orderBy("rank").select("docid", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val learned = graft.exec.Expansion
+      .learnedQuery(index, topDocs, fb.fbMu, fb.fbTerms)
+    // Java string concatenation of doubles (`QryEval.java:182-183`)
+    val combined = "#WAND(" + fb.fbOrigWeight + " " +
+      QueryParser.addDefaultOp(queryText, model) + " " +
+      (1 - fb.fbOrigWeight) + " " + learned + ")"
+    (learned, combined)
+  }
+
   /** Pruned BM25 top-k via block-max WAND over the compressed block
     * table, when the query lowers to a bag-of-words `#SUM` (free text
     * under BM25 always does — the default-op wrap). Falls back to the
@@ -100,6 +125,26 @@ object TrecWriter {
     val rows = ranked.select("extid", "rank", "score").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
     append(path, queryId, rows)
+  }
+
+  /** Read a prior run's top-N (docid, score) for one query — the
+    * reference's `getTopDocId` over fbInitialRankingFile
+    * (`QryEval/src/QryEval.java:242-271`): TREC columns
+    * `qid Q0 extid rank score run`, extids resolved via the docs table. */
+  def readTopDocs(path: String, queryId: Int, n: Int,
+                  index: graft.index.Index): Seq[(Long, Double)] = {
+    val src = scala.io.Source.fromFile(path)
+    val rows =
+      try src.getLines().map(_.trim.split("\\s+"))
+        .filter(p => p.length >= 5 && p(0) == queryId.toString)
+        .take(n).map(p => (p(2), p(4).toDouble)).toSeq
+      finally src.close()
+    val byExt = rows.map(_._1)
+    import org.apache.spark.sql.functions.col
+    val idMap = index.docs.filter(col("extid").isin(byExt: _*))
+      .select(col("extid"), col("docid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.flatMap { case (e, s) => idMap.get(e).map(d => (d, s)) }
   }
 }
 

@@ -1,0 +1,101 @@
+package graft.exec
+
+import graft.index.Index
+import org.apache.spark.sql.functions._
+
+/** Indri RM pseudo-relevance-feedback query expansion (SURVEY §2.6;
+  * reference `QryEval/src/QryExpansion.java:120-211`).
+  *
+  * Spark shape: the top-N feedback docs (a ≤100-row driver-side list) are
+  * broadcast against the forward index to pull their term vectors, the
+  * candidate vocabulary crosses back over the doc list (every vocab term
+  * contributes a present-or-default score for EVERY feedback doc), and a
+  * rank-ordered fold reproduces the reference's doc-loop accumulation
+  * order FP-exactly. At scale the only large input is the forward index,
+  * pruned by a broadcast join on the few feedback docids.
+  *
+  * Numeric fidelity (`QryExpansion.java:180-203`): pMLE is a Java FLOAT
+  * quotient ([[FloatDivide]]); everything else is double; log is
+  * StrictMath ([[StrictLog]] — determinism, see [[StrictPow]]).
+  *
+  * Term-selection tiebreak: the reference's heap fill order comes from
+  * HashMap iteration (nondeterministic across JVMs,
+  * `QryExpansion.java:216-224`); we fix score-descending, term-ascending.
+  */
+object Expansion {
+
+  final case class FbParams(fbDocs: Int, fbTerms: Int, fbMu: Double,
+                            fbOrigWeight: Double)
+
+  /** Terms containing `.` or `,` after the first char are skipped
+    * (`QryExpansion.java:137-144`; vacuous for the alnum code analyzer,
+    * kept for fidelity). */
+  private val SkipRe = "(?i).+(\\.|,).*"
+
+  /** The learned `#WAND(w1 t1 w2 t2 )` query for rank-ordered
+    * (docid, score) feedback docs. */
+  def learnedQuery(index: Index, topDocs: Seq[(Long, Double)],
+                   fbMu: Double, fbTerms: Int): String = {
+    val spark = index.spark
+    import spark.implicits._
+    val collectionLength = index.fieldStats("body").collectionLength
+
+    val docsDf = broadcast(
+      topDocs.zipWithIndex
+        .map { case ((d, s), r) => (d, s, r) }
+        .toDF("docid", "docScore", "rank")
+        .join(index.doclen.filter($"field" === "body")
+          .select($"docid", $"len"), Seq("docid"), "left")
+        .na.fill(0L, Seq("len")))
+
+    // (docid, term, tf) of the feedback docs — forward-index reads, the
+    // reference's TermVector (`QryExpansion.java:131-151`)
+    val present = index.fwdIndex
+      .filter($"field" === "body")
+      .join(broadcast(docsDf.select($"docid")), "docid")
+      .select($"docid",
+        explode(arrays_zip($"stems", $"stemFreq")).as("st"))
+      .select($"docid", $"st.stems".as("term"),
+        $"st.stemFreq".cast("int").as("tf"))
+      .filter(!$"term".rlike(SkipRe))
+
+    // candidate vocabulary with global ctf
+    val vocab = present.select($"term").distinct()
+      .join(index.termStats.filter($"field" === "body")
+        .select($"term", $"ctf"), Seq("term"))
+
+    val mleD = ScoreExpressions
+      .floatDiv($"ctf", lit(collectionLength)).cast("double")
+    val logInvMle = ScoreExpressions.strictLog(lit(1.0) / mleD)
+    val presentScore = // (tf + mu*pMLE)/(docLen + mu) * docScore * log(1/pMLE)
+      ($"tf".cast("double") + lit(fbMu) * mleD) /
+        ($"len".cast("double") + lit(fbMu)) * $"docScore" * logInvMle
+    val defaultScore = // mu*pMLE/(docLen + mu) * docScore * log(1/pMLE)
+      lit(fbMu) * mleD / ($"len".cast("double") + lit(fbMu)) *
+        $"docScore" * logInvMle
+
+    val scored = vocab
+      .crossJoin(docsDf) // broadcast-nested-loop: |vocab| × fbDocs
+      .join(present, Seq("term", "docid"), "left")
+      .select($"term", $"rank",
+        when($"tf".isNotNull, presentScore).otherwise(defaultScore)
+          .as("contrib"))
+      // accumulate per term in DOC RANK ORDER (the reference's i-loop,
+      // `QryExpansion.java:157-204`) — FP-exact fold
+      .groupBy($"term")
+      .agg(sort_array(collect_list(struct($"rank", $"contrib"))).as("cs"))
+      .select($"term",
+        aggregate($"cs", lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"))
+
+    val top = scored
+      .orderBy(desc("score"), asc("term"))
+      .limit(fbTerms)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+
+    // `"#WAND(" + score + " " + term + " " ... + ")"`
+    // (`QryExpansion.java:206-210` — Java Double.toString, trailing space)
+    top.map { case (t, s) => s"$s $t " }.mkString("#WAND(", "", ")")
+  }
+}

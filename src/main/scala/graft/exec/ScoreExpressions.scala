@@ -110,6 +110,34 @@ case class StrictPow(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Java float division `(float)a / (float)b` — Spark's `Divide` coerces
+  * fractional operands to double, so the reference's float quotients
+  * (e.g. pMLE = `(float) ctf / collectionLength`,
+  * `QryEval/src/QryExpansion.java` / `QryopSlScore.java:200`) need a
+  * dedicated expression. Operands are longs; result FloatType. */
+case class FloatDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.FloatType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Long].toFloat / b.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(float)$a / (float)$b")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `StrictMath.log` — same determinism rationale as [[StrictPow]]. */
+case class StrictLog(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    StrictMath.log(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"java.lang.StrictMath.log($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ScoreExpressions {
   private def e(c: Column) = ColumnBridge.expression(c)
   def bm25(tf: Column, len: Column, rsj: Float, k1: Float, b: Float,
@@ -123,4 +151,8 @@ object ScoreExpressions {
     ColumnBridge.column(IndriDefaultScore(e(len), mu, lambda, mle))
   def strictPow(base: Column, exp: Column): Column =
     ColumnBridge.column(StrictPow(e(base), e(exp)))
+  def floatDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatDivide(e(a), e(b)))
+  def strictLog(a: Column): Column =
+    ColumnBridge.column(StrictLog(e(a)))
 }

@@ -325,4 +325,76 @@ final class RefEngine(docsIn: Seq[(String, Map[String, String])],
     val ast = QueryParser.parseQuery(queryText, model, cfg).get
     topk(ast, model, k)
   }
+
+  // ------------------------------------------- PRF expansion (SURVEY §2.6)
+
+  private lazy val extidIndex: Map[String, Int] =
+    extids.zipWithIndex.toMap
+
+  /** Forward vector (term → tf) of one doc's body — the reference's
+    * `TermVector` read (`QryEval/src/QryExpansion.java:131-151`). */
+  private lazy val fwdBody: Map[Int, Map[String, Int]] = {
+    val m = mutable.HashMap.empty[Int, mutable.HashMap[String, Int]]
+    postings.foreach {
+      case ((term, "body"), ps) =>
+        ps.foreach(p =>
+          m.getOrElseUpdate(p.docid, mutable.HashMap.empty)(term) = p.tf)
+      case _ =>
+    }
+    m.map { case (d, tm) => d -> tm.toMap }.toMap
+  }
+
+  /** Straight-line transliteration of `QryExpansion.evaluateIndri`
+    * (`QryExpansion.java:120-211`): per-doc loop in rank order, float
+    * pMLE, double accumulation, StrictMath.log (determinism substitution
+    * documented in ScoreExpressions). Tiebreak: score desc, term asc
+    * (the reference's is HashMap-order-nondeterministic). */
+  def expandIndri(topDocs: Seq[(Int, Double)], fbMu: Double,
+                  fbTerms: Int): String = {
+    val collectionLength = sumTotalTermFreq("body")
+    val vecs = topDocs.map { case (d, _) => fwdBody.getOrElse(d, Map.empty) }
+    val skip = "(?i).+(\\.|,).*".r
+    val ctfMap = mutable.HashMap.empty[String, Long]
+    vecs.foreach(_.keys.foreach { t =>
+      if (t.nonEmpty && skip.matches(t) == false)
+        if (!ctfMap.contains(t))
+          ctfMap(t) = evalIl(Term(t, "body")).ctf.toLong
+    })
+    val score = mutable.LinkedHashMap.empty[String, Double]
+    ctfMap.keys.toSeq.sorted.foreach(t => score(t) = 0.0)
+    topDocs.zipWithIndex.foreach { case ((docid, docScore), i) =>
+      val vec = vecs(i)
+      val docLen = docLength("body", docid)
+      score.keys.foreach { t =>
+        val mle: Float = ctfMap(t).toFloat / collectionLength
+        val contrib = vec.get(t) match {
+          case Some(tf) =>
+            (tf + fbMu * mle) / (docLen + fbMu) * docScore *
+              StrictMath.log(1.0 / mle)
+          case None =>
+            fbMu * mle / (docLen + fbMu) * docScore *
+              StrictMath.log(1.0 / mle)
+        }
+        score(t) = score(t) + contrib
+      }
+    }
+    val top = score.toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      .take(fbTerms)
+    top.map { case (t, s) => s"$s $t " }.mkString("#WAND(", "", ")")
+  }
+
+  /** Orchestration `QryEval.java:154-185`: fresh top-fbDocs evaluation →
+    * learned #WAND → combined rewrite. Returns (learned, combined). */
+  def expandQuery(queryText: String, model: RetrievalModel, fbDocs: Int,
+                  fbTerms: Int, fbMu: Double,
+                  fbOrigWeight: Double): (String, String) = {
+    val topDocs = topkQuery(queryText, model, fbDocs)
+      .map { case (e, s) => (extidIndex(e), s) }
+    val learned = expandIndri(topDocs, fbMu, fbTerms)
+    val combined = "#WAND(" + fbOrigWeight + " " +
+      QueryParser.addDefaultOp(queryText, model) + " " +
+      (1 - fbOrigWeight) + " " + learned + ")"
+    (learned, combined)
+  }
 }
