@@ -1,0 +1,123 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.index._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** SURVEY §5.5 resume tests + §5.3 salt-invariance property: a killed
+  * build resumes from per-table checkpoints to the identical index, and
+  * the salted (bucketed) build produces the same logical index at any
+  * bucket count. */
+class IndexStoreSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(): Path = {
+    val d = Files.createTempDirectory("graft-index-")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** extid-keyed logical postings — docid-layout-independent view. */
+  private def logicalPostings(idx: Index): Set[(String, String, String, Int, Seq[Int])] = {
+    import spark.implicits._
+    idx.postings
+      .join(idx.docs.select($"docid", $"extid"), "docid")
+      .select($"term", $"field", $"extid", $"tf", $"positions")
+      .as[(String, String, String, Int, Seq[Int])].collect().toSet
+  }
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  describe("IndexStore snapshot + resume (north rule: per-partition checkpoints)") {
+    lazy val idx = IndexBuilder.build(spark, CorpusGen.df(spark, 100),
+      IndexConfig(buckets = 4))
+
+    it("save → load round-trips every table and the stats") {
+      val dir = freshDir().toString
+      IndexStore.save(idx, dir)
+      assert(IndexStore.exists(dir))
+      val loaded = IndexStore.load(spark, dir)
+      assert(loaded.stats == idx.stats)
+      assert(logicalPostings(loaded) == logicalPostings(idx))
+      assert(collectSet(loaded.docs) == collectSet(idx.docs))
+      assert(collectSet(loaded.doclen) == collectSet(idx.doclen))
+      assert(collectSet(loaded.termStats) == collectSet(idx.termStats))
+      // compressed serving form round-trips to the same logical postings
+      val viaBlocks = PostingBlocks.toPostings(spark, loaded.blocks)
+      assert(collectSet(viaBlocks.select("term", "field", "docid", "tf", "positions"))
+        == collectSet(idx.postings.select("term", "field", "docid", "tf", "positions")))
+      rmTree(Paths.get(dir))
+    }
+
+    it("a killed build resumes: finished tables are skipped, the index is identical") {
+      val dir = freshDir()
+      IndexStore.save(idx, dir.toString)
+      // simulate a crash AFTER docs/postings landed but BEFORE doclen:
+      // wipe the snapshot, doclen's marker and data
+      Files.delete(dir.resolve("SNAPSHOT.json"))
+      Files.delete(dir.resolve("_done_doclen"))
+      rmTree(dir.resolve("doclen"))
+      assert(!IndexStore.exists(dir.toString))
+
+      val mtimeBefore = Files.getLastModifiedTime(dir.resolve("postings"))
+      IndexStore.save(idx, dir.toString) // resume
+      assert(IndexStore.exists(dir.toString))
+      // finished tables untouched (checkpoint skip), missing one rebuilt
+      assert(Files.getLastModifiedTime(dir.resolve("postings")) == mtimeBefore)
+      val loaded = IndexStore.load(spark, dir.toString)
+      assert(collectSet(loaded.doclen) == collectSet(idx.doclen))
+      assert(loaded.stats == idx.stats)
+      rmTree(dir)
+    }
+
+    it("a half-finished dir without SNAPSHOT.json refuses to load") {
+      val dir = freshDir()
+      assertThrows[IllegalArgumentException] {
+        IndexStore.load(spark, dir.toString)
+      }
+      rmTree(dir)
+    }
+
+    it("manifest records per-segment lineage + metrics") {
+      import spark.implicits._
+      val dir = freshDir()
+      IndexStore.save(idx, dir.toString)
+      val manifest = spark.read.parquet(s"$dir/manifest")
+      val segs = manifest.select($"segment".cast("long")).as[Long]
+        .collect().toSet
+      assert(segs == (0L until 4L).toSet)
+      val cols = manifest.columns.toSet
+      assert(Set("postingCount", "termCountApprox", "maxDocid",
+        "buildMillis", "snapshotId").subsetOf(cols))
+      rmTree(dir)
+    }
+  }
+
+  describe("salted build invariance (north rule: skew handling must not change results)") {
+    it("buckets=2 and buckets=16 build the same logical index") {
+      val c = CorpusGen.df(spark, 100)
+      val a = IndexBuilder.build(spark, c, IndexConfig(buckets = 2))
+      val b = IndexBuilder.build(spark, c, IndexConfig(buckets = 16))
+      assert(logicalPostings(a) == logicalPostings(b))
+      assert(collectSet(a.termStats) == collectSet(b.termStats))
+      assert(a.stats == b.stats)
+      // sha256 per-row invariant (BASELINE.json input_hint)
+      import spark.implicits._
+      val shaA = a.docs.select($"extid", $"sha256").as[(String, String)]
+        .collect().toSet
+      val shaB = b.docs.select($"extid", $"sha256").as[(String, String)]
+        .collect().toSet
+      assert(shaA == shaB)
+    }
+  }
+}
