@@ -1,0 +1,114 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.api.SearchEngine
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig, IndexStore}
+import graft.model.{BM25, Indri, RankedBoolean}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** Scaling-efficiency evidence (north rule: ≥0.8 throughput scaling from
+  * N to 4N executors). No real cluster exists in this sandbox, so the
+  * same job runs at two `local[k]` parallelism levels on the SAME
+  * deterministic synthetic input (BASELINE.md §targets), each level in a
+  * FRESH JVM (`sbt runMain` per level) so heap/GC state cannot bias the
+  * comparison, with `reps` repetitions reporting the minimum
+  * (steady-state) wall-clock.
+  *
+  *   job    = full index build: tokenize → salted postings → doclen/
+  *            termstats/compressed blocks derivations → snapshot commit
+  *            (`IndexBuilder.build` + `IndexStore.save`)
+  *   metric = files/sec; efficiency = (thru_4N / thru_N) / 4
+  *
+  * Usage:
+  *   runMain graft.ScalingBench build <cores> <nDocs> <reps>
+  *   runMain graft.ScalingBench queries <cores> <nDocs>
+  * Each prints one JSON line; BENCH/BASELINE.md records both levels.
+  */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  /** Full build pipeline wall-clock: corpus → index → persisted snapshot. */
+  private def buildOnce(spark: SparkSession, nDocs: Long): Double = {
+    val dir = Files.createTempDirectory("graft-scaling-").toString
+    rmTree(dir)
+    val corpus = CorpusGen.df(spark, nDocs,
+      partitions = spark.sparkContext.defaultParallelism)
+    val t0 = System.nanoTime()
+    val idx = IndexBuilder.build(spark, corpus, IndexConfig(buckets = 64))
+    IndexStore.save(idx, dir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    rmTree(dir)
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "build"
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val nDocs = if (args.length > 2) args(2).toLong else 20000L
+
+    mode match {
+      case "build" =>
+        val reps = if (args.length > 3) args(3).toInt else 3
+        val spark = session(cores)
+        buildOnce(spark, 500L) // JIT/classload warmup, discarded
+        val times = (0 until reps).map(_ => buildOnce(spark, nDocs))
+        spark.stop()
+        val best = times.min
+        println(s"""{"metric":"scaling-build","cores":$cores,""" +
+          s""""nDocs":$nDocs,"reps":$reps,""" +
+          s""""buildSec":${times.mkString("[", ",", "]")},""" +
+          s""""bestSec":$best,"filesPerSec":${nDocs / best}}""")
+
+      case "queries" =>
+        val spark = session(cores)
+        val idx = IndexBuilder.build(spark, CorpusGen.df(spark, nDocs),
+          IndexConfig(buckets = 64)).cacheAll()
+        idx.postings.count() // materialize cache
+        idx.blocks.cache().count()
+        val engine = new SearchEngine(idx, AnalyzerConfig.code)
+        val queries = Seq(
+          ("bm25", "open inverted index query", BM25(1.2f, 0.75f, 0f)),
+          ("bm25_pruned", "open inverted index query", BM25(1.2f, 0.75f, 0f)),
+          ("indri_sdm", "#WAND(0.7 #AND(open inverted) " +
+            "0.2 #AND(#NEAR/1(inverted index)) " +
+            "0.1 #AND(#WINDOW/8(inverted index)))", Indri(2500f, 0.4f)),
+          ("boolean_and", "#AND(def class val)", RankedBoolean),
+          ("near", "#NEAR/2(inverted index)", RankedBoolean))
+        def runs(warm: Boolean) = queries.map { case (name, q, m) =>
+          val t0 = System.nanoTime()
+          val res =
+            if (name == "bm25_pruned") engine.searchPruned(q, m, 100)
+            else engine.search(q, m, 100)
+          res.collect()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        runs(false) // warmup
+        val lat = runs(true)
+        spark.stop()
+        val latJson = lat.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scaling-queries","cores":$cores,""" +
+          s""""nDocs":$nDocs,"queryLatencySec":$latJson}""")
+
+      case other => sys.error(s"unknown mode $other")
+    }
+  }
+}

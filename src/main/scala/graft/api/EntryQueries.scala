@@ -133,6 +133,43 @@ object EntryQueries {
     "q_wand" -> scoredQ("#WAND(0.7 spark 0.3 merge)", IndriModel, 6),
     "q_wsum" -> scoredQ("#WSUM(0.4 spark 0.6 merge)", IndriModel),
 
+    // --- block-max WAND pruned top-k (north-rule extension): same
+    // answer as q_bm25_topk, independently re-derived by the DuckDB
+    // oracle — the pruned path is verified against SQL, not just
+    // against our own exhaustive planner
+    "q_bmw_topk" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.engine.searchPruned("spark hash join merge", Bm25Model, 100)
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("rank"), col("score"))
+        .orderBy("rank")
+    }),
+
+    // --- PRF expansion (O16) + LeToR features (O17) — rows-only checks
+    "q_prf_expand" -> ((s, d) => {
+      import s.implicits._
+      val c = ctx(s, d)
+      val fb = graft.exec.Expansion.FbParams(10, 10, 2500.0, 0.5)
+      val (learned, _) = c.engine.expand("spark merge", IndriModel, fb)
+      // learned = "#WAND(w1 t1 w2 t2 ...)" → (rank, term, weight) rows
+      val parts = learned.stripPrefix("#WAND(").stripSuffix(")")
+        .trim.split("\\s+").toSeq
+      parts.grouped(2).zipWithIndex
+        .map { case (Seq(w, t), i) => (i + 1, t, w.toDouble) }
+        .toSeq.toDF("rank", "term", "weight")
+    }),
+    "q_letor_features" -> ((s, d) => {
+      val c = ctx(s, d)
+      val cands = c.engine.search("spark hash join", Bm25Model, 50)
+        .select("docid")
+      val feats = graft.exec.LeToR.rawFeatures(c.index, "spark hash join",
+        cfg, cands, Bm25Model, IndriModel)
+      graft.exec.LeToR.normalize(feats.withColumn("qid", lit(1)))
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id") +: graft.exec.LeToR.FeatureNames.map(col): _*)
+        .orderBy("doc_id")
+    }),
+
     // --- position-bearing operators (O2-O4)
     "q_syn" -> searchQ("#SYN(hash merge)", RankedBoolean),
     "q_near" -> searchQ("#NEAR/1(hash join)", RankedBoolean),

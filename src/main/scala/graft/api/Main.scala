@@ -50,8 +50,12 @@ object Main {
             CorpusGen.df(spark, n)
         }
         val built = IndexBuilder.build(spark, corpus, IndexConfig(cfg))
-        maybeDir.foreach(dir => IndexStore.save(built, dir))
-        built.cacheAll()
+        maybeDir match {
+          case Some(dir) =>
+            IndexStore.save(built, dir)
+            IndexStore.load(spark, dir) // serve from the committed snapshot
+          case None => built.cacheAll()
+        }
     }
 
     val engine = new SearchEngine(index, cfg)

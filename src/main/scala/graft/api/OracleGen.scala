@@ -346,6 +346,8 @@ object OracleGen {
       "q_postings" -> (withToks() +
         "\nSELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"),
       "q_bm25_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),
+      // block-max WAND must equal the exhaustive BM25 oracle exactly
+      "q_bmw_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),
       "q_bm25_dup" -> bm25TopK(Seq("spark", "spark", "hash")),
       "q_ranked_and" -> rankedAnd("hash", "merge"),
       "q_ranked_or" -> rankedOr("vector", "stream"),

@@ -33,10 +33,16 @@ final class Index(
     val postings: DataFrame,
     val doclen: DataFrame,
     val termStats: DataFrame,
-    val stats: IndexStats,
+    /** Global statistics, computed on first use (exact aggregates over
+      * docs/doclen) — loading a snapshot supplies the persisted values,
+      * a fresh build defers the two counting jobs until a scorer needs
+      * them. */
+    statsThunk: () => IndexStats,
     /** Pre-built compressed block table (set when loaded from an
       * [[IndexStore]] snapshot); otherwise derived on demand. */
     blocksOpt: Option[Dataset[PostingBlock]] = None) extends Serializable {
+
+  lazy val stats: IndexStats = statsThunk()
 
   def fieldStats(field: String): FieldStats =
     stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))

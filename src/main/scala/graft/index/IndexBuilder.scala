@@ -81,12 +81,41 @@ object IndexBuilder {
       .select(col("docid"), col("ft.field").as("field"), col("ft.text").as("text"))
   }
 
+  /** Derivations from the postings table — everything downstream of the
+    * single tokenize pass reads columnar postings, never the corpus:
+    *
+    *  - doclen: `len = Σ tf` over a doc's terms (token count surviving
+    *    the analyzer = Lucene-norm semantics,
+    *    `QryEval/src/DocLenStoreSimilarity.java:29-36`)
+    *  - termStats: exact global df/ctf (SURVEY §1.5) — two-stage
+    *    (salted partial → global) via Spark's partial aggregation;
+    *    pure sums/counts, so exact.
+    */
+  def doclenOf(postings: DataFrame): DataFrame =
+    postings.groupBy("docid", "field")
+      .agg(sum(col("tf")).as("len"))
+
+  def termStatsOf(postings: DataFrame): DataFrame =
+    postings.groupBy("term", "field")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+
+  /** Global statistics from docs + doclen (exact aggregates). Called
+    * lazily — only when a scorer first needs them. */
+  def statsOf(docs: DataFrame, doclen: DataFrame): IndexStats = {
+    val numDocs = docs.count()
+    val fstats = doclen.groupBy("field")
+      .agg(count(lit(1)).as("docCount"), sum(col("len")).as("collectionLength"))
+      .collect().map { r =>
+        r.getString(0) -> FieldStats(r.getString(0), r.getLong(1), r.getLong(2))
+      }.toMap
+    IndexStats(numDocs, fstats)
+  }
+
   def build(spark: SparkSession, corpus: DataFrame,
             cfg: IndexConfig = IndexConfig()): Index = {
     val docsAll = assignDocids(corpus, cfg.buckets)
     val docs = docsAll
       .select("docid", "extid", "repo", "path", "commit", "lang", "sha256")
-      .cache()
 
     val tokens = fieldText(docsAll, cfg.fields)
       .select(col("docid"), col("field"),
@@ -97,33 +126,17 @@ object IndexBuilder {
     // (term, field, docid) key: docid acts as the salt — hot terms spread
     // over every shuffle partition. Positions sorted after the merge so
     // the result is deterministic regardless of partial-agg order.
+    // This is the ONLY pass over the corpus text: doclen, termStats,
+    // stats, and the compressed blocks all derive from postings
+    // (re-read from parquet when persisted — see IndexStore.save).
     val postings = tokens
       .groupBy("term", "field", "docid")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tf", size(col("positions")))
       .select("term", "field", "docid", "tf", "positions")
 
-    // Doc length = number of tokens surviving the analyzer (Lucene-norm
-    // semantics, `QryEval/src/DocLenStoreSimilarity.java:29-36`).
-    val doclen = tokens.groupBy("docid", "field")
-      .agg(count(lit(1)).as("len"))
-
-    // Exact global term statistics (SURVEY §1.5): two-stage (salted →
-    // global) by virtue of Spark's partial aggregation; values are pure
-    // sums/counts so the result is exact.
-    val termStats = postings.groupBy("term", "field")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-
-    val numDocs = docs.count()
-    val fieldRows = doclen.groupBy("field")
-      .agg(count(lit(1)).as("docCount"), sum(col("len")).as("collectionLength"))
-      .collect()
-    val fstats = fieldRows.map { r =>
-      val f = r.getString(0)
-      f -> FieldStats(f, r.getLong(1), r.getLong(2))
-    }.toMap
-
-    new Index(spark, docs, postings, doclen, termStats,
-      IndexStats(numDocs, fstats))
+    val doclen = doclenOf(postings)
+    new Index(spark, docs, postings, doclen, termStatsOf(postings),
+      statsThunk = () => statsOf(docs, doclen))
   }
 }

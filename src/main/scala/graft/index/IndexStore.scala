@@ -39,6 +39,7 @@ object IndexStore {
   def save(index: Index, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val t0 = System.currentTimeMillis()
+    val spark = index.spark
 
     def writeTable(name: String)(w: => Unit): Unit =
       if (!Files.exists(marker(dir, name))) {
@@ -46,6 +47,12 @@ object IndexStore {
         Files.createFile(marker(dir, name))
       }
 
+    // Staged build: the corpus is tokenized EXACTLY ONCE (the postings
+    // write); every other table derives from the persisted columnar
+    // postings via read-back — at 100 TB the corpus pass is the cost
+    // that must not repeat, while postings re-reads are pruned columnar
+    // scans.
+    //
     // postings partitioned by docid segment (the build salt): query-time
     // term lookups prune via parquet row-group stats on the sorted term
     // column inside every segment; segment dirs are the parallel unit.
@@ -58,28 +65,36 @@ object IndexStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings")
     }
+    def postingsOnDisk = spark.read.parquet(s"$dir/postings")
+
+    writeTable("doclen") {
+      IndexBuilder.doclenOf(postingsOnDisk)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+    }
+    def doclenOnDisk = spark.read.parquet(s"$dir/doclen")
+
+    writeTable("termstats") {
+      IndexBuilder.termStatsOf(postingsOnDisk)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+    }
     // the compressed serving form (north rule: delta-gap + varbyte blocks
     // with block-max metadata), partitioned like the raw postings
     writeTable("postings_blocks") {
-      index.blocks
+      PostingBlocks.fromPostings(spark,
+          postingsOnDisk.select("term", "field", "docid", "tf", "positions"),
+          doclenOnDisk)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings_blocks")
     }
     writeTable("docs") {
       index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     }
-    writeTable("doclen") {
-      index.doclen.write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-    }
-    writeTable("termstats") {
-      index.termStats.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-    }
 
     // lineage + metrics manifest (north rule): per-segment row counts,
     // term counts, build wall-clock.
     if (!Files.exists(marker(dir, "manifest"))) {
       val buildMillis = System.currentTimeMillis() - t0
-      index.spark.read.parquet(s"$dir/postings")
+      postingsOnDisk
         .groupBy("segment")
         .agg(count(lit(1)).as("postingCount"),
           approx_count_distinct(col("term")).as("termCountApprox"),
@@ -90,7 +105,9 @@ object IndexStore {
       Files.createFile(marker(dir, "manifest"))
     }
 
-    writeStats(index.stats, s"$dir/stats.json")
+    // global stats from the persisted tables (no corpus re-read)
+    writeStats(IndexBuilder.statsOf(
+      spark.read.parquet(s"$dir/docs"), doclenOnDisk), s"$dir/stats.json")
 
     // atomic commit: tmp + move
     val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
@@ -118,7 +135,7 @@ object IndexStore {
         .select("term", "field", "docid", "tf", "positions"),
       spark.read.parquet(s"$dir/doclen"),
       spark.read.parquet(s"$dir/termstats"),
-      stats,
+      statsThunk = () => stats,
       blocksOpt = Some(blocks))
   }
 

@@ -1,0 +1,78 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.api.SearchEngine
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.BM25
+import graft.streaming.StreamingIndexer
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funspec.AnyFunSpec
+import java.nio.file.Files
+
+/** Streaming ingestion: per-micro-batch segments must merge into an
+  * index logically identical to a one-shot batch build over the same
+  * docs, and batch retries must be idempotent. */
+class StreamingIndexerSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+  private val cfg = IndexConfig(AnalyzerConfig.code, buckets = 8)
+
+  private def logicalPostings(idx: graft.index.Index) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    idx.postings
+      .join(idx.docs.select(col("docid"), col("extid")), "docid")
+      .select(col("term"), col("field"), col("extid"), col("tf"),
+        col("positions"))
+      .as[(String, String, String, Int, Seq[Int])].collect().toSet
+  }
+
+  describe("Structured Streaming incremental indexing") {
+    it("two micro-batches merge to the one-shot batch-build index") {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val dir = Files.createTempDirectory("graft-stream-").toString
+      val all = CorpusGen.docs(80)
+      val (b1, b2) = all.splitAt(40)
+
+      val mem = MemoryStream[graft.corpus.CorpusDoc]
+      val query = StreamingIndexer.start(mem.toDF(), dir, cfg)
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      query.stop()
+
+      assert(StreamingIndexer.committedSegments(dir).size == 2)
+      val merged = StreamingIndexer.loadMerged(spark, dir)
+      val oneShot = IndexBuilder.build(spark, all.toDF(), cfg)
+      assert(logicalPostings(merged) == logicalPostings(oneShot))
+      assert(merged.stats == oneShot.stats)
+
+      // the merged streaming index ranks identically to the batch index
+      val a = new SearchEngine(merged, AnalyzerConfig.code)
+        .search("open inverted index", BM25(), 20)
+        .select("extid", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toVector
+      val b = new SearchEngine(oneShot, AnalyzerConfig.code)
+        .search("open inverted index", BM25(), 20)
+        .select("extid", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toVector
+      assert(a == b)
+    }
+
+    it("re-processing a committed batch is a no-op (idempotent retry)") {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-stream2-").toString
+      val docs = CorpusGen.docs(30)
+      StreamingIndexer.processBatch(dir, cfg)(docs.toDF(), 0L)
+      val before = StreamingIndexer.loadMerged(spark, dir)
+      val sig = logicalPostings(before)
+      // simulate foreachBatch retry of the same batch id
+      StreamingIndexer.processBatch(dir, cfg)(docs.take(5).toDF(), 0L)
+      val after = StreamingIndexer.loadMerged(spark, dir)
+      assert(logicalPostings(after) == sig)
+    }
+  }
+}
