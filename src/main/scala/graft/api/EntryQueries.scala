@@ -133,6 +133,39 @@ object EntryQueries {
     "q_wand" -> scoredQ("#WAND(0.7 spark 0.3 merge)", IndriModel, 6),
     "q_wsum" -> scoredQ("#WSUM(0.4 spark 0.6 merge)", IndriModel),
 
+    // --- forward index (O18/TermVector analog): doc-major term vectors
+    "q_fwdindex" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.fwdIndex.filter(col("field") === "body")
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"),
+          explode(arrays_zip(col("stems"), col("stemFreq"))).as("st"))
+        .select(col("doc_id"), col("st.stems").as("term"),
+          col("st.stemFreq").cast("long").as("tf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // --- streaming ingestion: two micro-batch segments over the same
+    // documents, merged read must equal the batch answer (oracle =
+    // the batch q_doclen SQL)
+    "q_streaming_doclen" -> ((s, d) => {
+      import graft.streaming.StreamingIndexer
+      import graft.index.IndexConfig
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-entry-stream-").toString
+      val corp = corpus(s, d).cache()
+      val half = lit(250L)
+      StreamingIndexer.processBatch(dir, IndexConfig(cfg, buckets = 8))(
+        corp.filter(col("path").cast("long") < half), 0L)
+      StreamingIndexer.processBatch(dir, IndexConfig(cfg, buckets = 8))(
+        corp.filter(col("path").cast("long") >= half), 1L)
+      val merged = StreamingIndexer.loadMerged(s, dir)
+      merged.doclen.filter(col("field") === "body")
+        .join(merged.docs.select(col("docid"),
+          col("path").cast("long").as("doc_id")), "docid")
+        .select(col("doc_id"), col("len")).orderBy("doc_id")
+    }),
+
     // --- block-max WAND pruned top-k (north-rule extension): same
     // answer as q_bm25_topk, independently re-derived by the DuckDB
     // oracle — the pruned path is verified against SQL, not just

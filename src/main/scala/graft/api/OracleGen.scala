@@ -345,6 +345,10 @@ object OracleGen {
         "CAST((SELECT count(*) FROM dl) AS FLOAT) AS DOUBLE) AS avg_doc_len"),
       "q_postings" -> (withToks() +
         "\nSELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"),
+      "q_fwdindex" -> (withToks() +
+        "\nSELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term ORDER BY doc_id, term"),
+      "q_streaming_doclen" ->
+        (withToks() + "\nSELECT doc_id, len FROM dl ORDER BY doc_id"),
       "q_bm25_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),
       // block-max WAND must equal the exhaustive BM25 oracle exactly
       "q_bmw_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),

@@ -40,7 +40,10 @@ final class Index(
     statsThunk: () => IndexStats,
     /** Pre-built compressed block table (set when loaded from an
       * [[IndexStore]] snapshot); otherwise derived on demand. */
-    blocksOpt: Option[Dataset[PostingBlock]] = None) extends Serializable {
+    blocksOpt: Option[Dataset[PostingBlock]] = None,
+    /** docid-bucket count of the build (the salt domain) — the store
+      * repartitions persisted tables to ~1 file per segment. */
+    val buckets: Int = 64) extends Serializable {
 
   lazy val stats: IndexStats = statsThunk()
 

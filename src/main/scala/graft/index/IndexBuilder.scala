@@ -137,6 +137,6 @@ object IndexBuilder {
 
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),
-      statsThunk = () => statsOf(docs, doclen))
+      statsThunk = () => statsOf(docs, doclen), buckets = cfg.buckets)
   }
 }

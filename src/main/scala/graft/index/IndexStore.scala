@@ -56,12 +56,21 @@ object IndexStore {
     // postings partitioned by docid segment (the build salt): query-time
     // term lookups prune via parquet row-group stats on the sorted term
     // column inside every segment; segment dirs are the parallel unit.
+    //
+    // `repartition(buckets, segment)` bounds the dynamic-partition write
+    // to ~ONE file per segment — without it, every write task opens a
+    // parquet writer per segment dir (tasks × segments files), and the
+    // per-file open/commit overhead dominates the whole build (measured
+    // 22s for an otherwise-instant write). The sortWithinPartitions key
+    // leads with `segment` so the planned-write sorter sees its required
+    // partition-column ordering already satisfied and the (term, docid)
+    // file order survives.
     writeTable("postings") {
       index.postings
         .withColumn("segment",
           shiftright(col("docid"), IndexBuilder.BucketShift))
-        .repartition(col("segment"))
-        .sortWithinPartitions("term", "docid")
+        .repartition(index.buckets, col("segment"))
+        .sortWithinPartitions("segment", "term", "docid")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings")
     }
@@ -83,6 +92,8 @@ object IndexStore {
       PostingBlocks.fromPostings(spark,
           postingsOnDisk.select("term", "field", "docid", "tf", "positions"),
           doclenOnDisk)
+        .repartition(index.buckets, col("segment"))
+        .sortWithinPartitions("segment", "term", "blockId")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings_blocks")
     }
@@ -107,7 +118,8 @@ object IndexStore {
 
     // global stats from the persisted tables (no corpus re-read)
     writeStats(IndexBuilder.statsOf(
-      spark.read.parquet(s"$dir/docs"), doclenOnDisk), s"$dir/stats.json")
+        spark.read.parquet(s"$dir/docs"), doclenOnDisk),
+      s"$dir/stats.json", index.buckets)
 
     // atomic commit: tmp + move
     val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
@@ -121,7 +133,7 @@ object IndexStore {
 
   def load(spark: SparkSession, dir: String): Index = {
     require(exists(dir), s"no committed index snapshot at $dir")
-    val stats = readStats(s"$dir/stats.json")
+    val (stats, buckets) = readStats(s"$dir/stats.json")
     import spark.implicits._
     val blocks = spark.read.parquet(s"$dir/postings_blocks")
       .withColumn("segment", col("segment").cast("long"))
@@ -136,25 +148,30 @@ object IndexStore {
       spark.read.parquet(s"$dir/doclen"),
       spark.read.parquet(s"$dir/termstats"),
       statsThunk = () => stats,
-      blocksOpt = Some(blocks))
+      blocksOpt = Some(blocks),
+      buckets = buckets)
   }
 
-  def writeStats(stats: IndexStats, path: String): Unit = {
+  def writeStats(stats: IndexStats, path: String,
+                 buckets: Int = 64): Unit = {
     val fields = stats.fields.values.map(f =>
       s"""{"field":"${f.field}","docCount":${f.docCount},""" +
       s""""collectionLength":${f.collectionLength}}""").mkString(",")
     Files.writeString(Paths.get(path),
-      s"""{"numDocs":${stats.numDocs},"fields":[$fields]}""")
+      s"""{"numDocs":${stats.numDocs},"buckets":$buckets,""" +
+      s""""fields":[$fields]}""")
   }
 
-  def readStats(path: String): IndexStats = {
+  def readStats(path: String): (IndexStats, Int) = {
     val s = Files.readString(Paths.get(path))
     val numDocs = """"numDocs":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(64)
     val fieldRe =
       """\{"field":"([^"]+)","docCount":(\d+),"collectionLength":(\d+)\}""".r
     val fields = fieldRe.findAllMatchIn(s).map { m =>
       m.group(1) -> FieldStats(m.group(1), m.group(2).toLong, m.group(3).toLong)
     }.toMap
-    IndexStats(numDocs, fields)
+    (IndexStats(numDocs, fields), buckets)
   }
 }

@@ -38,42 +38,47 @@ object PostingBlocks {
     * of the north rule: segment comes from the docid hash-bucket, so the
     * postings of a hot term ("the", "if", license headers) land on
     * `#segments` different reducers instead of one.
+    *
+    * Shape: relational `groupBy.agg(collect_list)` (Tungsten hash
+    * aggregation with map-side partials, whole-stage codegen up to the
+    * encode UDF) — measurably faster than the typed
+    * `groupByKey.flatMapGroups` equivalent, which deserializes every
+    * posting into Scala objects before grouping. The doclen side
+    * broadcast-joins when small (AQE decides from stats).
     */
   def fromPostings(spark: SparkSession, postings: DataFrame,
                    doclen: DataFrame,
                    blockSize: Int = DefaultBlockSize): Dataset[PostingBlock] = {
     import spark.implicits._
-    val withLen = postings
+
+    val encodeUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      // one (term, field, segment) group: ≤ docs-per-bucket postings
+      val sorted = rows.sortBy(_.getLong(0))
+      sorted.grouped(blockSize).zipWithIndex.map { case (chunk, blockId) =>
+        val ps = chunk.map(r =>
+          Posting(r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
+        val lens = chunk.map(_.getLong(3))
+        val first = ps.head.docid
+        (blockId, first, ps.last.docid, ps.length, ps.map(_.tf.toLong).sum,
+          ps.map(_.tf).max, lens.min, lens.max,
+          PostingCodec.encode(ps, first), PostingCodec.encodeLens(lens))
+      }.toSeq
+    })
+
+    postings
       .join(doclen.select($"docid", $"field", $"len"), Seq("docid", "field"))
       .select($"term", $"field",
         shiftright($"docid", IndexBuilder.BucketShift).as("segment"),
-        $"docid", $"tf", $"positions", $"len")
-      .as[(String, String, Long, Long, Int, Array[Int], Long)]
-
-    withLen
-      .groupByKey { case (term, field, segment, _, _, _, _) =>
-        (term, field, segment)
-      }
-      .flatMapGroups { (key: (String, String, Long),
-                        it: Iterator[(String, String, Long, Long, Int, Array[Int], Long)]) =>
-        val (term, field, segment) = key
-        // One segment's slice of one term: ≤ docs-per-bucket rows.
-        val rows = it.map { case (_, _, _, docid, tf, positions, len) =>
-          (Posting(docid, tf, positions), len)
-        }.toArray.sortBy(_._1.docid)
-        rows.grouped(blockSize).zipWithIndex.map { case (chunk, blockId) =>
-          val ps = chunk.map(_._1)
-          val lens = chunk.map(_._2)
-          val first = ps.head.docid
-          PostingBlock(term, field, segment, blockId,
-            firstDocid = first, lastDocid = ps.last.docid,
-            df = ps.length, ctf = ps.map(_.tf.toLong).sum,
-            maxTf = ps.map(_.tf).max,
-            minLen = lens.min, maxLen = lens.max,
-            block = PostingCodec.encode(ps.toSeq, first),
-            lens = PostingCodec.encodeLens(lens.toSeq))
-        }
-      }
+        struct($"docid", $"tf", $"positions", $"len").as("p"))
+      .groupBy($"term", $"field", $"segment")
+      .agg(collect_list($"p").as("ps"))
+      .select($"term", $"field", $"segment", explode(encodeUdf($"ps")).as("b"))
+      .select($"term", $"field", $"segment",
+        $"b._1".as("blockId"), $"b._2".as("firstDocid"),
+        $"b._3".as("lastDocid"), $"b._4".as("df"), $"b._5".as("ctf"),
+        $"b._6".as("maxTf"), $"b._7".as("minLen"), $"b._8".as("maxLen"),
+        $"b._9".as("block"), $"b._10".as("lens"))
+      .as[PostingBlock]
   }
 
   /** Decode back to the row form (term, field, docid, tf, positions) —
