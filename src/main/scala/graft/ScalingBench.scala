@@ -32,7 +32,12 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // partition count sized by DATA (≥ the 64 segment buckets), not by
+      // core count — tying it to cores gives the low-parallelism level
+      // giant spilling sort partitions and falsifies the scaling
+      // comparison; a real cluster job fixes this per dataset too
+      .config("spark.sql.shuffle.partitions",
+        math.max(cores, 64).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
