@@ -88,9 +88,11 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   def planIl(q: Il): IlRes = q match {
     case Term(t, f) =>
+      // len rides inline on posting rows (Lucene-norm style) — scoring
+      // needs no doclen join for docs that match
       val df = index.postings
         .filter($"term" === t && $"field" === f)
-        .select($"docid", $"tf", $"positions")
+        .select($"docid", $"tf", $"positions", $"len")
       val (dfc, ctf) = leafStats.getOrElse((t, f), (0L, 0L))
       IlRes(df, f, () => dfc, () => ctf)
 
@@ -100,12 +102,13 @@ final class Planner(index: Index, model: RetrievalModel) {
       // Reference concatenates member positions then sorts
       // (`QryopIlSyn.java:69-81`) — order-independent, so a plain
       // union+groupBy reproduces it.
-      val unioned = children.map(_.df.select($"docid", $"positions"))
+      val unioned = children.map(_.df.select($"docid", $"positions", $"len"))
         .reduce(_ union _)
       val df = unioned.groupBy($"docid")
-        .agg(sort_array(flatten(collect_list($"positions"))).as("positions"))
+        .agg(sort_array(flatten(collect_list($"positions"))).as("positions"),
+          first($"len").as("len"))
         .withColumn("tf", size($"positions"))
-        .select($"docid", $"tf", $"positions")
+        .select($"docid", $"tf", $"positions", $"len")
       withLazyStats(df, field)
 
     case Near(dist, args) =>
@@ -118,7 +121,7 @@ final class Planner(index: Index, model: RetrievalModel) {
         .withColumn("positions", nearUdf(array(posCols: _*), lit(dist)))
         .filter(size($"positions") > 0)
         .withColumn("tf", size($"positions"))
-        .select($"docid", $"tf", $"positions")
+        .select($"docid", $"tf", $"positions", $"len")
       withLazyStats(df, field)
 
     case Window(dist, args) =>
@@ -138,7 +141,7 @@ final class Planner(index: Index, model: RetrievalModel) {
           .withColumn("positions", windowUdf(array(posCols: _*), lit(dist)))
           .filter(size($"positions") > 0)
           .withColumn("tf", size($"positions"))
-          .select($"docid", $"tf", $"positions")
+          .select($"docid", $"tf", $"positions", $"len")
         withLazyStats(df, field)
       }
   }
@@ -160,7 +163,12 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   private def kwayJoin(children: Seq[IlRes]): DataFrame =
     children.zipWithIndex
-      .map { case (c, i) => c.df.select($"docid", $"positions".as(s"pos_$i")) }
+      .map { case (c, i) =>
+        // len identical across children (same doc, same field) — carry
+        // it once from the first child
+        if (i == 0) c.df.select($"docid", $"positions".as(s"pos_$i"), $"len")
+        else c.df.select($"docid", $"positions".as(s"pos_$i"))
+      }
       .reduce((a, b) => a.join(b, "docid"))
 
   // ------------------------------------------------------------------- Sl
@@ -185,13 +193,14 @@ final class Planner(index: Index, model: RetrievalModel) {
           Set(field), _ => lit(0.0))
 
       case BM25(k1, b, _) =>
-        // QryopSlScore.java:121-168 — float-faithful custom expression
+        // QryopSlScore.java:121-168 — float-faithful custom expression;
+        // docLen comes inline with the posting rows (no join)
         val docFreq = ilr.docFreq()
         val n = index.stats.numDocs
         val avgDocLen: Float = fs.avgDocLen // float division (:142-143)
         val rsj: Float = // (float) Math.log(...) — NO max(0,·) floor (:146)
           StrictMath.log((n - docFreq + 0.5) / (docFreq + 0.5)).toFloat
-        val scored = ilr.df.join(doclenFor(field), "docid")
+        val scored = ilr.df
         SlRes(
           scored.select($"docid",
             ScoreExpressions.bm25($"tf", $"len", rsj, k1, b, avgDocLen)
@@ -199,10 +208,11 @@ final class Planner(index: Index, model: RetrievalModel) {
           Set(field), _ => lit(0.0))
 
       case Indri(mu, lambda) =>
-        // QryopSlScore.java:178-221 — float-faithful custom expression
+        // QryopSlScore.java:178-221 — float-faithful custom expression;
+        // docLen inline (matching docs); defaults still read doclen
         val ctf = ilr.ctf()
         val mle: Float = ctf.toFloat / fs.collectionLength // (float) ctf / cl (:200)
-        val scored = ilr.df.join(doclenFor(field), "docid")
+        val scored = ilr.df
         def default(lens: Map[String, Column]): Column =
           ScoreExpressions.indriDefault(lens(field), mu, lambda, mle)
         SlRes(

@@ -68,7 +68,13 @@ object IndexBuilder {
       toks.foreach(t =>
         m.getOrElseUpdate(t.term,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos)
-      m.iterator.map { case (t, ps) => (t, ps.toArray) }.toArray
+      // len (surviving-token count = Lucene-norm doc length) rides on
+      // every posting row: like Lucene's norms, inlining it removes the
+      // doclen JOIN from BM25/Indri scoring and the block build — at
+      // 10^12 docs the doclen side can neither broadcast nor co-shuffle
+      // cheaply, so the denormalization IS the scale plan.
+      val len = toks.length.toLong
+      m.iterator.map { case (t, ps) => (t, ps.toArray, len) }.toArray
     })
 
   /** Assign deterministic docids and compute the docs table. */
@@ -111,8 +117,10 @@ object IndexBuilder {
     *    pure sums/counts, so exact.
     */
   def doclenOf(postings: DataFrame): DataFrame =
-    postings.groupBy("docid", "field")
-      .agg(sum(col("tf")).as("len"))
+    if (postings.columns.contains("len"))
+      postings.groupBy("docid", "field").agg(first(col("len")).as("len"))
+    else
+      postings.groupBy("docid", "field").agg(sum(col("tf")).as("len"))
 
   def termStatsOf(postings: DataFrame): DataFrame =
     postings.groupBy("term", "field")
@@ -147,7 +155,8 @@ object IndexBuilder {
       .select(col("docid"), col("field"),
         explode(docTermsUdf(cfg.analyzer)(col("text"))).as("dt"))
       .select(col("dt._1").as("term"), col("field"), col("docid"),
-        size(col("dt._2")).as("tf"), col("dt._2").as("positions"))
+        size(col("dt._2")).as("tf"), col("dt._2").as("positions"),
+        col("dt._3").as("len"))
 
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),

@@ -90,7 +90,8 @@ object IndexStore {
     // with block-max metadata), partitioned like the raw postings
     writeTable("postings_blocks") {
       PostingBlocks.fromPostings(spark,
-          postingsOnDisk.select("term", "field", "docid", "tf", "positions"),
+          postingsOnDisk
+            .select("term", "field", "docid", "tf", "positions", "len"),
           doclenOnDisk)
         .repartition(index.buckets, col("segment"))
         .sortWithinPartitions("segment", "term", "blockId")
@@ -144,7 +145,7 @@ object IndexStore {
     new Index(spark,
       spark.read.parquet(s"$dir/docs"),
       spark.read.parquet(s"$dir/postings")
-        .select("term", "field", "docid", "tf", "positions"),
+        .select("term", "field", "docid", "tf", "positions", "len"),
       spark.read.parquet(s"$dir/doclen"),
       spark.read.parquet(s"$dir/termstats"),
       statsThunk = () => stats,

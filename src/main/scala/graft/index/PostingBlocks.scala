@@ -65,8 +65,13 @@ object PostingBlocks {
       }.toSeq
     })
 
-    postings
-      .join(doclen.select($"docid", $"field", $"len"), Seq("docid", "field"))
+    // doc length comes inline with the posting rows when the builder
+    // provided it (the scale path — no join); otherwise join doclen
+    val withLen =
+      if (postings.columns.contains("len")) postings
+      else postings.join(
+        doclen.select($"docid", $"field", $"len"), Seq("docid", "field"))
+    withLen
       .select($"term", $"field",
         shiftright($"docid", IndexBuilder.BucketShift).as("segment"),
         struct($"docid", $"tf", $"positions", $"len").as("p"))
