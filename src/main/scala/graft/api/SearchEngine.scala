@@ -22,6 +22,17 @@ final class SearchEngine(val index: Index,
     new Planner(index, model).plan(ast)
   }
 
+  /** O18 internal↔external id lookup (`QryEval/src/QryEval.java:295-323`):
+    * pushed-down point filters against the docs table (the reference's
+    * stored-field read / externalId TermQuery). */
+  def externalId(docid: Long): Option[String] =
+    index.docs.filter(col("docid") === docid).select("extid")
+      .collect().headOption.map(_.getString(0))
+
+  def internalId(extid: String): Option[Long] =
+    index.docs.filter(col("extid") === extid).select("docid")
+      .collect().headOption.map(_.getLong(0))
+
   /** Pseudo-relevance-feedback expansion (SURVEY §2.6; orchestration
     * `QryEval/src/QryEval.java:154-185`): evaluate the original query,
     * learn a `#WAND` term query from the top `fbDocs` docs' forward-index
