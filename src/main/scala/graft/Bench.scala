@@ -31,22 +31,28 @@ object Bench {
       c.index.termStats.count(); c.index.docs.count()
     }
 
+    // A query that throws is recorded as -1 (sentinel), excluded from the
+    // percentile/total stats, and listed in "failed" — a broken query must
+    // never silently improve the bench numbers.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = time {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
-      name -> sec
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val times = results.map(_._2).sorted
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    val times = results.map(_._2).filter(_ >= 0).sorted
     def pct(p: Double): Double =
       if (times.isEmpty) 0.0
       else times(math.min(times.length - 1, (p * times.length).toInt))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","build":$buildSec,""" +
-      s""""p50":${pct(0.5)},"p99":${pct(0.99)},"queries":$qs,"sf":"$sfDir"}""")
+      s""""p50":${pct(0.5)},"p99":${pct(0.99)},"failed":$fj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

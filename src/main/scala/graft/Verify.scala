@@ -34,7 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver looks oracles up by the dump ENTRY NAME (`q_x.parquet`),
+    // not the bare query name — round 1 recorded 35× `no_oracle` because
+    // only bare keys were written. Emit BOTH keys so either lookup works.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

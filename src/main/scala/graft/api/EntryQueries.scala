@@ -190,6 +190,9 @@ object EntryQueries {
       parts.grouped(2).zipWithIndex
         .map { case (Seq(w, t), i) => (i + 1, t, w.toDouble) }
         .toSeq.toDF("rank", "term", "weight")
+        // round 6 on the reported weight: StrictMath.log/pow vs DuckDB
+        // libm can differ in the last ulp (selection uses exact scores)
+        .withColumn("weight", round(col("weight"), 6))
     }),
     "q_letor_features" -> ((s, d) => {
       val c = ctx(s, d)
@@ -234,9 +237,16 @@ object EntryQueries {
       Dedup.exactCanonical(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .select("doc_id", "canonical_id", "text_md5").orderBy("doc_id")),
-    "q_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", "source", 3, 0.05)
-        .orderBy("a_id", "b_id")),
+    // LSH proposes candidates, exact Jaccard verifies — linear in the
+    // candidate count, never all-pairs within a coarse block (the round-1
+    // entry blocked on `source` = 20 values → O(N²/20); scale-killer).
+    "q_jaccard_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.lshCandidates(
+        Dedup.minhashSignature(docs, "doc_id", "text", 3))
+      Dedup.jaccardVerify(docs, "doc_id", "text", cands, 3, 0.05)
+        .orderBy("a_id", "b_id")
+    }),
     "q_minhash" -> ((s, d) =>
       Dedup.minhashSignature(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),

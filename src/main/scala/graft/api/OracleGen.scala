@@ -44,6 +44,9 @@ object OracleGen {
   private def withToks(extra: String*): String =
     "WITH " + (Seq(Toks0, ToksU, Dl) ++ extra).mkString(",\n ")
 
+  private def withToksRec(extra: String*): String =
+    "WITH RECURSIVE " + (Seq(Toks0, ToksU, Dl) ++ extra).mkString(",\n ")
+
   /** Shingle-list expression over a `toks` list column (word n=3). */
   private def sh3(toks: String): String =
     s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - 2, 0)), " +
@@ -185,6 +188,117 @@ object OracleGen {
       "SELECT doc_id, CAST(tf AS DOUBLE) AS score FROM nr WHERE tf > 0")
   }
 
+  /** Generic greedy `#NEAR/d` chain (`PositionOps.nearPositions`,
+    * `QryopIlNear.java:74-120`) as DuckDB recursive CTEs: one two-pointer
+    * state machine per adjacent arg pair; stage i's matched positions
+    * feed stage i+1. Terminal row per doc = pointers exhausted. */
+  def nearChain(terms: Seq[String], dist: Int): String = {
+    val pCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, list(pos1 ORDER BY pos1) AS ps FROM toks " +
+      s"WHERE term = '$t' GROUP BY doc_id)"
+    }
+    val ch0 = "ch0 AS (SELECT doc_id, ps FROM p0)"
+    val stages = (1 until terms.length).flatMap { i =>
+      Seq(
+        s"r$i(doc_id, a, b, m, n, acc) AS (" +
+        s"SELECT c.doc_id, c.ps, p.ps, 1, 1, CAST([] AS BIGINT[]) " +
+        s"FROM ch${i - 1} c JOIN p$i p USING (doc_id) " +
+        "UNION ALL SELECT doc_id, a, b, " +
+        "CASE WHEN b[n] < a[m] THEN m ELSE m + 1 END, " +
+        s"CASE WHEN b[n] < a[m] THEN n + 1 WHEN b[n] - a[m] <= $dist THEN n + 1 ELSE n END, " +
+        s"CASE WHEN b[n] >= a[m] AND b[n] - a[m] <= $dist THEN list_append(acc, b[n]) ELSE acc END " +
+        s"FROM r$i WHERE m <= len(a) AND n <= len(b))",
+        s"ch$i AS (SELECT doc_id, acc AS ps FROM r$i " +
+        "WHERE (m > len(a) OR n > len(b)) AND len(acc) > 0)")
+    }
+    withToksRec(pCtes ++ (ch0 +: stages): _*) + "\n" + ranked(
+      s"SELECT doc_id, CAST(len(ps) AS DOUBLE) AS score FROM ch${terms.length - 1}")
+  }
+
+  /** Greedy `#WINDOW/d` (`PositionOps.windowPositions`,
+    * `QryopIlWindow.java:92-136`) as one k-pointer recursive CTE: if
+    * `max-min <= d-1` emit max and advance all pointers, else advance the
+    * pointer holding the min. Assumes DISTINCT terms (positions never
+    * collide, so the reference's first-strict-min tiebreak and its df-
+    * ascending arg sort cannot change the result). */
+  def windowOracle(terms: Seq[String], dist: Int): String = {
+    val k = terms.length
+    val pCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, list(pos1 ORDER BY pos1) AS ps FROM toks " +
+      s"WHERE term = '$t' GROUP BY doc_id)"
+    }
+    val cols = (0 until k).flatMap(i => Seq(s"l$i", s"q$i"))
+    val cur = (0 until k).map(i => s"l$i[q$i]")
+    val inBounds = (0 until k).map(i => s"q$i <= len(l$i)").mkString(" AND ")
+    val outBounds = (0 until k).map(i => s"q$i > len(l$i)").mkString(" OR ")
+    val base = "SELECT " +
+      (("p0.doc_id" +: (0 until k).flatMap(i => Seq(s"p$i.ps", "1"))) :+
+        "CAST([] AS BIGINT[])").mkString(", ") +
+      " FROM p0 " + (1 until k).map(i => s"JOIN p$i USING (doc_id)").mkString(" ")
+    val step = "SELECT doc_id, " +
+      (0 until k).map(i =>
+        s"l$i, CASE WHEN valid THEN q$i + 1 WHEN l$i[q$i] = mn THEN q$i + 1 ELSE q$i END")
+        .mkString(", ") +
+      ", CASE WHEN valid THEN list_append(acc, mx) ELSE acc END " +
+      s"FROM (SELECT doc_id, ${(cols :+ "acc").mkString(", ")}, " +
+      s"greatest(${cur.mkString(", ")}) AS mx, least(${cur.mkString(", ")}) AS mn, " +
+      s"greatest(${cur.mkString(", ")}) - least(${cur.mkString(", ")}) <= ${dist - 1} AS valid " +
+      s"FROM w WHERE $inBounds) s"
+    val w = s"w(doc_id, ${(cols :+ "acc").mkString(", ")}) AS ($base UNION ALL $step)"
+    val wt = s"wt AS (SELECT doc_id, acc FROM w WHERE $outBounds)"
+    withToksRec(pCtes ++ Seq(w, wt): _*) + "\n" + ranked(
+      "SELECT doc_id, CAST(len(acc) AS DOUBLE) AS score FROM wt WHERE len(acc) > 0")
+  }
+
+  // ----------------------------------------------------- PRF expansion
+
+  /** Indri-RM learned-query oracle (rank, term, weight rounded 6):
+    * re-derives `Expansion.learnedQuery` over the top-`fbDocs` Indri #AND
+    * ranking — float pMLE quotient, doc-rank-ordered accumulation fold
+    * (`QryExpansion.java:157-210`). */
+  def prfExpand(terms: Seq[String], fbDocs: Int, fbTerms: Int,
+                fbMu: Double): String = {
+    val ctes = terms.zipWithIndex.map { case (t, i) => termCte(i, t) }
+    val st = "st AS (SELECT CAST(sum(len) AS BIGINT) AS cl FROM dl)"
+    val consts = "c AS (SELECT " + terms.indices.map { i =>
+      s"CAST((SELECT CAST(sum(tf) AS BIGINT) FROM t$i) AS FLOAT) / " +
+      s"CAST((SELECT cl FROM st) AS FLOAT) AS mle$i"
+    }.mkString(", ") + ")"
+    val prod = terms.indices.foldLeft("1.0e0")((acc, i) =>
+      s"($acc * (${indriChild(i)}))")
+    val scored = "scored AS (SELECT dl.doc_id AS doc_id, " +
+      s"pow($prod, ${d(1.0 / terms.length)}) AS score " +
+      s"FROM dl CROSS JOIN c ${leftJoins(terms.length)} WHERE ${anyPresent(terms.length)})"
+    val top = "top AS (SELECT doc_id, score, row_number() OVER " +
+      "(ORDER BY score DESC, doc_id ASC) AS rnk FROM scored " +
+      s"ORDER BY score DESC, doc_id ASC LIMIT $fbDocs)"
+    val tl = "tl AS (SELECT t.doc_id AS doc_id, t.score AS doc_score, " +
+      "t.rnk AS rnk, dl.len AS len FROM top t JOIN dl USING (doc_id))"
+    val tv = "tv AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+      "WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY doc_id, term)"
+    val ct = "ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM toks " +
+      "WHERE term IN (SELECT DISTINCT term FROM tv) GROUP BY term)"
+    val vm = "vm AS (SELECT term, CAST(CAST(ctf AS FLOAT) / " +
+      "CAST((SELECT cl FROM st) AS FLOAT) AS DOUBLE) AS mle FROM ct)"
+    val grid = "grid AS (SELECT v.term AS term, v.mle AS mle, d.rnk AS rnk, " +
+      "d.doc_score AS doc_score, d.len AS len, tv.tf AS tf " +
+      "FROM vm v CROSS JOIN tl d " +
+      "LEFT JOIN tv ON tv.doc_id = d.doc_id AND tv.term = v.term)"
+    val contrib = "contrib AS (SELECT term, rnk, CASE WHEN tf IS NOT NULL " +
+      s"THEN (CAST(tf AS DOUBLE) + ${d(fbMu)} * mle) / (CAST(len AS DOUBLE) + ${d(fbMu)}) " +
+      "* doc_score * ln(1.0e0 / mle) " +
+      s"ELSE ${d(fbMu)} * mle / (CAST(len AS DOUBLE) + ${d(fbMu)}) " +
+      "* doc_score * ln(1.0e0 / mle) END AS contrib FROM grid)"
+    val agg = "agg AS (SELECT term, list_reduce(list_prepend(0.0e0, " +
+      "list(contrib ORDER BY rnk)), (x, y) -> x + y) AS score " +
+      "FROM contrib GROUP BY term)"
+    withToks(ctes ++ Seq(st, consts, scored, top, tl, tv, ct, vm, grid,
+      contrib, agg): _*) +
+      "\nSELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INT) " +
+      "AS rank, term, round(score, 6) AS weight FROM agg " +
+      s"ORDER BY score DESC, term ASC LIMIT $fbTerms"
+  }
+
   // -------------------------------------------------------- text ops
 
   def tokenStats: String =
@@ -235,16 +349,25 @@ object OracleGen {
     "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id, " +
     "md5(text) AS text_md5 FROM documents ORDER BY doc_id"
 
-  def jaccardPairs(threshold: Double): String =
-    s"WITH s AS (SELECT doc_id, source, ${sh3(
-      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')")} AS sh FROM documents)\n" +
+  /** LSH-candidate pairs (same bands as [[lshPairs]]) verified by exact
+    * shingle Jaccard — mirrors `Dedup.lshCandidates` → `jaccardVerify`. */
+  def jaccardPairs(threshold: Double): String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val ks = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(':', $ks) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH $Toks0, $SigCtes, bands AS ($bandSelects), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)\n" +
     "SELECT a_id, b_id, jaccard FROM (" +
-    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-    "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
-    "FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id " +
-    "WHERE len(list_distinct(a.sh || b.sh)) > 0) " +
+    "SELECT c.a_id AS a_id, c.b_id AS b_id, " +
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+    "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard " +
+    "FROM cand c JOIN shd sa ON sa.doc_id = c.a_id " +
+    "JOIN shd sb ON sb.doc_id = c.b_id " +
+    "WHERE len(list_distinct(sa.sh || sb.sh)) > 0) " +
     s"WHERE jaccard >= ${d(threshold)} ORDER BY a_id, b_id"
+  }
 
   private def minhashAggs: String =
     Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -326,6 +449,21 @@ object OracleGen {
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
     "upper(substr(hex(encode(text)), 1, 8)) AS magic FROM documents ORDER BY doc_id"
 
+  /** Mirrors `Multimodal.decodeStub`'s avg-byte feature: byte sum parsed
+    * from hex pairs; float division like the stub's `sum.toFloat / len`. */
+  def mediaFeatures: String =
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents), " +
+    "s AS (SELECT doc_id, n_bytes, upper(substr(hx, 1, 8)) AS magic, " +
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    "list_transform(generate_series(1, n_bytes), " +
+    "i -> ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2))::BIGINT)), " +
+    "(x, y) -> x + y) AS bsum FROM b)\n" +
+    "SELECT doc_id, n_bytes, magic, " +
+    "CASE WHEN n_bytes > 0 THEN CAST(CAST(bsum AS FLOAT) / " +
+    "CAST(n_bytes AS FLOAT) AS DOUBLE) ELSE 0.0e0 END AS avg_byte " +
+    "FROM s ORDER BY doc_id"
+
   // ------------------------------------------------------------- all
 
   def all: Map[String, String] = {
@@ -361,6 +499,10 @@ object OracleGen {
       "q_wsum" -> indriWsum(Seq("spark", "merge"), wsumN),
       "q_syn" -> rankedSyn("hash", "merge"),
       "q_near" -> near1("hash", "join"),
+      "q_near4" -> nearChain(Seq("data", "stream", "filter"), 4),
+      "q_window" -> windowOracle(Seq("spark", "merge", "batch"), 8),
+      "q_prf_expand" -> prfExpand(Seq("spark", "merge"), 10, 10, 2500.0),
+      "q_media_features" -> mediaFeatures,
       "q_token_stats" -> tokenStats,
       "q_quality" -> quality(AnalyzerConfig.luceneEnglishStopwords.toSeq.sorted),
       "q_lang_id" -> langId,

@@ -362,13 +362,17 @@ final class Planner(index: Index, model: RetrievalModel) {
   // ------------------------------------------------------------ doclen map
 
   /** Left-join per-field doc lengths as a field→len map; missing field ⇒
-    * length 0 (Lucene missing norm). */
+    * length 0 (Lucene missing norm). doclen is semi-joined to the (much
+    * smaller) union-docid frame BEFORE the map aggregate — the semi-join
+    * broadcasts the query's docids over the doclen scan, so the per-query
+    * aggregate touches only matching docs, never the full collection. */
   private def joinLens(df: DataFrame, fields: Set[String])
       : (DataFrame, Map[String, Column]) = {
     if (fields.isEmpty) return (df, Map.empty)
     val fseq = fields.toSeq
     val lenm = index.doclen
       .filter($"field".isin(fseq: _*))
+      .join(df.select($"docid"), Seq("docid"), "left_semi")
       .groupBy($"docid")
       .agg(map_from_entries(collect_list(struct($"field", $"len"))).as("lenm"))
     val joined = df.join(lenm, Seq("docid"), "left")

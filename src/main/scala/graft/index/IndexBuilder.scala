@@ -77,11 +77,22 @@ object IndexBuilder {
       m.iterator.map { case (t, ps) => (t, ps.toArray, len) }.toArray
     })
 
+  /** Stored per-doc quality percentile (0-99) — the corpus analog of the
+    * reference's indexed spam score (`FeatureVector.java:109-112` reads
+    * stored field "score"): share of alphanumeric characters, floored to
+    * a percentile. Computed once at build, stored on the docs table. */
+  def qualityScoreCol: Column =
+    when(length(col("content")) === 0, lit(0))
+      .otherwise(floor(lit(100.0) *
+        length(regexp_replace(lower(col("content")), "[^a-z0-9]", "")) /
+        length(col("content"))).cast("int"))
+
   /** Assign deterministic docids and compute the docs table. */
   def assignDocids(corpus: DataFrame, buckets: Int): DataFrame = {
     val withExt = corpus
       .withColumn("extid", extidCol)
       .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("score", qualityScoreCol)
       .withColumn("bucket", pmod(xxhash64(col("extid")), lit(buckets.toLong)))
     // Per-bucket rank: each window group is one bucket (~N/buckets docs),
     // never a global single-partition sort.
@@ -93,13 +104,22 @@ object IndexBuilder {
       .drop("bucket")
   }
 
-  /** (docid, field, text) rows for every indexed field of every doc. */
+  /** (docid, field, text) rows for every indexed field of every doc.
+    * `inlink` / `keywords` are the reference's link-anchor and meta-
+    * keyword fields (`QryEval/src/QryEval.java:467`) with corpus analogs:
+    * the text a referrer would use (file basename + repo) and the
+    * language tag. */
   def fieldText(docs: DataFrame, fields: Seq[String]): DataFrame = {
     val cols: Seq[Column] = fields.map {
       case "body"  => struct(lit("body").as("field"), col("content").as("text"))
       case "title" => struct(lit("title").as("field"), col("path").as("text"))
       case "url" => struct(lit("url").as("field"),
         concat(col("repo"), lit("/"), col("path")).as("text"))
+      case "inlink" => struct(lit("inlink").as("field"),
+        concat(regexp_extract(col("path"), "([^/]+)$", 1), lit(" "),
+          col("repo")).as("text"))
+      case "keywords" => struct(lit("keywords").as("field"),
+        col("lang").as("text"))
       case other => struct(lit(other).as("field"), lit("").as("text"))
     }
     docs.select(col("docid"), explode(array(cols: _*)).as("ft"))
@@ -142,7 +162,8 @@ object IndexBuilder {
             cfg: IndexConfig = IndexConfig()): Index = {
     val docsAll = assignDocids(corpus, cfg.buckets)
     val docs = docsAll
-      .select("docid", "extid", "repo", "path", "commit", "lang", "sha256")
+      .select("docid", "extid", "repo", "path", "commit", "lang", "sha256",
+        "score")
 
     // Shuffle-free posting construction: one tokenize pass, rows leave
     // the scan in final posting shape. This is the ONLY pass over the

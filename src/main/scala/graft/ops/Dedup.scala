@@ -62,6 +62,27 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact n-gram Jaccard restricted to an explicit candidate-pair set
+    * (normally [[lshCandidates]] output): two narrow equi-joins of
+    * (a_id, b_id) back to the per-doc shingle sets. Cost is linear in the
+    * candidate count — THIS is the 100 TB near-dup path (LSH proposes,
+    * exact Jaccard verifies); never all-pairs within a coarse attribute
+    * block. */
+  def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
+                    candidates: DataFrame, n: Int,
+                    threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("long"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** MinHash permutation constants: 16 fixed (a, b) pairs, a odd < 2^30,
     * over the prime p = 4294967311 > 2^32. Single source of truth — the
     * DuckDB oracle SQL is generated from this same array. */
