@@ -57,7 +57,9 @@ object EntryQueries {
   def ctx(spark: SparkSession, sfDir: String): Ctx =
     cache.computeIfAbsent(sfDir, _ => {
       val idx = IndexBuilder
-        .build(spark, corpus(spark, sfDir), IndexConfig(cfg)).cacheAll()
+        .build(spark, corpus(spark, sfDir),
+          IndexConfig(cfg, fields =
+            Seq("body", "title", "url", "inlink", "keywords"))).cacheAll()
       Ctx(idx, new SearchEngine(idx, cfg))
     })
 
@@ -197,12 +199,14 @@ object EntryQueries {
     "q_letor_features" -> ((s, d) => {
       val c = ctx(s, d)
       val cands = c.engine.search("spark hash join", Bm25Model, 50)
-        .select("docid")
+        .select(col("docid"), col("rank").as("ord"))
       val feats = graft.exec.LeToR.rawFeatures(c.index, "spark hash join",
         cfg, cands, Bm25Model, IndriModel)
-      graft.exec.LeToR.normalize(feats.withColumn("qid", lit(1)))
+      graft.exec.LeToR
+        .normalize(feats.join(cands, "docid").withColumn("qid", lit(1)))
         .join(docIdMap(c), "docid")
-        .select(col("doc_id") +: graft.exec.LeToR.FeatureNames.map(col): _*)
+        .select(col("doc_id") +:
+          graft.exec.LeToR.FeatureNames.map(f => round(col(f), 6).as(f)): _*)
         .orderBy("doc_id")
     }),
 
@@ -268,6 +272,12 @@ object EntryQueries {
       val e = embeddings(s, d)
       val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
       Similarity.lshTopK(e, "vec_id", "embedding", probe, 0L, 10)
+    }),
+    // 32-bit banded multi-probe SRP — the recall-preserving scale path
+    "q_ann_banded" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
+      Similarity.lshTopKBanded(e, "vec_id", "embedding", probe, 0L, 10)
     }),
 
     // --- multimodal binary-column plumbing

@@ -37,7 +37,11 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val model = RetrievalModel.fromParams(params)
+    val algorithm = params.getOrElse("retrievalAlgorithm", "UnrankedBoolean")
+    val letor = algorithm.equalsIgnoreCase("letor")
+    val model =
+      if (letor) null // E3 branch below; scoring model per phase
+      else RetrievalModel.fromParams(params)
     val cfg = AnalyzerConfig.code
 
     val index = params.get("indexPath") match {
@@ -49,7 +53,12 @@ object Main {
             val n = params.getOrElse("corpusSynthetic", "2000").toLong
             CorpusGen.df(spark, n)
         }
-        val built = IndexBuilder.build(spark, corpus, IndexConfig(cfg))
+        // all reference fields (`QryEval/src/QryEval.java:467`), override
+        // with fields=a,b,c to index fewer
+        val fields = params.getOrElse("fields",
+          "body,title,url,inlink,keywords").split(",").map(_.trim).toSeq
+        val built = IndexBuilder.build(spark, corpus,
+          IndexConfig(cfg, fields = fields))
         maybeDir match {
           case Some(dir) =>
             IndexStore.save(built, dir)
@@ -59,6 +68,17 @@ object Main {
     }
 
     val engine = new SearchEngine(index, cfg)
+
+    if (letor) {
+      // E3: train on qrels → rerank the BM25 top-100 per test query
+      // (`QryEval/src/QryEval.java:125-226`)
+      val t0 = System.nanoTime()
+      graft.exec.LeToRRun.run(engine, params, cfg)
+      println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     val out = params("trecEvalOutputPath")
     new java.io.File(out).delete() // reference appends; start fresh per run
 

@@ -74,9 +74,10 @@ object OracleGen {
   private val mu = EntryQueries.IndriModel.mu
   private val lambda = EntryQueries.IndriModel.lambda
 
-  /** Float-faithful BM25 #SUM top-100 (QryopSlScore.java:121-168 float
-    * casts mirrored in SQL FLOAT arithmetic). */
-  def bm25TopK(terms: Seq[String]): String = {
+  /** The float-faithful BM25 #SUM machinery (QryopSlScore.java:121-168
+    * float casts mirrored in SQL FLOAT arithmetic): CTE list + scored-set
+    * SELECT, shared by [[bm25TopK]] and [[letorFeatures]]. */
+  private def bm25Pieces(terms: Seq[String]): (Seq[String], String) = {
     val n = terms.length
     val ctes = terms.zipWithIndex.map { case (t, i) => termCte(i, t) }
     val consts = "c AS (SELECT " +
@@ -94,7 +95,13 @@ object OracleGen {
     }
     val body = s"SELECT dl.doc_id AS doc_id, $sum AS score " +
       s"FROM dl CROSS JOIN c ${leftJoins(n)} WHERE ${anyPresent(n)}"
-    withToks(ctes :+ consts: _*) + "\n" + ranked(body)
+    (ctes :+ consts, body)
+  }
+
+  /** Float-faithful BM25 #SUM top-100. */
+  def bm25TopK(terms: Seq[String]): String = {
+    val (ctes, body) = bm25Pieces(terms)
+    withToks(ctes: _*) + "\n" + ranked(body)
   }
 
   /** Indri child value: Dirichlet score when present, default otherwise
@@ -299,6 +306,109 @@ object OracleGen {
       s"ORDER BY score DESC, term ASC LIMIT $fbTerms"
   }
 
+  // ------------------------------------------------------ LeToR oracle
+
+  /** 18-feature LeToR oracle (doc_id, f1..f18 normalized, round 6) —
+    * re-derives `LeToR.rawFeatures` + `LeToR.normalize` over the BM25
+    * top-`k` candidates of a distinct-term query (each qtf = 1).
+    *
+    * Non-body fields under the EntryQueries corpus mapping (title =
+    * lpad(doc_id), url = "r/"+lpad, inlink = lpad+" r") can never contain
+    * the alphabetic query terms, so their BM25/overlap sums are empty
+    * (0.0) and Indri hits the no-overlap→0 rule — the oracle states those
+    * zeros directly (fields are always present, so no NaN). f4 (PageRank)
+    * has no file in the contract run ⇒ all-NaN ⇒ normalizes to 0.
+    * Normalization replicates the reference's insertion-order min/max
+    * scan bug (max starts at 4.9e-324, min only updates in the
+    * else-branch — `FeatureVector.java:589-622`). */
+  def letorFeatures(terms: Seq[String], k: Int): String = {
+    require(terms.distinct == terms, "letor oracle assumes distinct terms")
+    val qlen = terms.length
+    val (ctes, scoredBody) = bm25Pieces(terms)
+    val cand = "cand AS (SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY score DESC, doc_id ASC) AS INT) AS ord " +
+      s"FROM ($scoredBody) ORDER BY score DESC, doc_id ASC LIMIT $k)"
+    val st = "st AS (SELECT CAST(sum(len) AS BIGINT) AS cl FROM dl)"
+    // candidate grid with per-term body tf + body len
+    val cg = "cg AS (SELECT cd.doc_id AS doc_id, cd.ord AS ord, " +
+      "dl.len AS len, " +
+      terms.indices.map(i => s"t$i.tf AS tf$i").mkString(", ") +
+      s" FROM cand cd JOIN dl ON dl.doc_id = cd.doc_id " +
+      terms.indices.map(i => s"LEFT JOIN t$i ON t$i.doc_id = cd.doc_id")
+        .mkString(" ") + ")"
+    // fold order = ascending term (engine's fixed iteration order)
+    val ordIdx = terms.zipWithIndex.sortBy(_._1).map(_._2)
+    val avgD = "CAST((SELECT avgf FROM c) AS DOUBLE)"
+    def rsjD(i: Int) =
+      s"ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) - " +
+      s"(SELECT count(*) FROM t$i) + 0.5e0) / ((SELECT count(*) FROM t$i) + 0.5e0))"
+    val k1D = d(EntryQueries.Bm25Model.k1.toDouble)
+    val b1D = d(1.0 - EntryQueries.Bm25Model.b.toDouble)
+    val bD = d(EntryQueries.Bm25Model.b.toDouble)
+    val usrD = d((EntryQueries.Bm25Model.k3 + 1.0) * 1 /
+      (EntryQueries.Bm25Model.k3 + 1))
+    def bmTerm(i: Int) =
+      s"CASE WHEN tf$i IS NOT NULL THEN (${rsjD(i)}) * " +
+      s"(CAST(tf$i AS DOUBLE) / (CAST(tf$i AS DOUBLE) + $k1D * " +
+      s"($b1D + $bD * CAST(len AS DOUBLE) / $avgD))) * $usrD ELSE 0.0e0 END"
+    val f5 = ordIdx.foldLeft("0.0e0")((acc, i) => s"($acc + (${bmTerm(i)}))")
+    val muD = d(IndriModel2.mu.toDouble)
+    val lamD = d(IndriModel2.lambda.toDouble)
+    def mleD(i: Int) =
+      s"(CAST((SELECT CAST(sum(tf) AS BIGINT) FROM t$i) AS DOUBLE) / " +
+      "CAST((SELECT cl FROM st) AS DOUBLE))"
+    def inTerm(i: Int) =
+      s"pow($lamD * (CAST(COALESCE(tf$i, 0) AS DOUBLE) + ($muD * ${mleD(i)})) / " +
+      s"(CAST(len AS DOUBLE) + $muD) + (${d(1.0 - IndriModel2.lambda.toDouble)} * ${mleD(i)}), " +
+      s"${d(1.0 / qlen)})"
+    val anyTf = terms.indices.map(i => s"tf$i IS NOT NULL").mkString(" OR ")
+    val inProd = ordIdx.foldLeft("1.0e0")((acc, i) => s"($acc * ${inTerm(i)})")
+    val f6 = s"CASE WHEN $anyTf THEN $inProd ELSE 0.0e0 END"
+    val ovSum = terms.indices
+      .map(i => s"CASE WHEN tf$i IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val f7 = s"CAST($ovSum AS DOUBLE) / ${d(qlen.toDouble)}"
+    val f18 = s"CASE WHEN $anyTf THEN 1.0e0 ELSE 0.0e0 END"
+    val url = "('r/' || lpad(CAST(d.doc_id AS VARCHAR), 10, '0'))"
+    val raw = "raw AS (SELECT cg.doc_id AS doc_id, cg.ord AS ord, " +
+      "CAST(CASE WHEN length(d.text) = 0 THEN 0 ELSE floor(100.0e0 * " +
+      "length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) / " +
+      "length(d.text)) END AS DOUBLE) AS f1, " +
+      s"CAST(length($url) - length(replace($url, '/', '')) AS DOUBLE) AS f2, " +
+      s"CASE WHEN contains($url, 'src/main') THEN 1.0e0 ELSE 0.0e0 END AS f3, " +
+      "'nan'::DOUBLE AS f4, " +
+      s"$f5 AS f5, $f6 AS f6, $f7 AS f7, " +
+      "0.0e0 AS f8, 0.0e0 AS f9, 0.0e0 AS f10, " +
+      "0.0e0 AS f11, 0.0e0 AS f12, 0.0e0 AS f13, " +
+      "0.0e0 AS f14, 0.0e0 AS f15, 0.0e0 AS f16, " +
+      s"CASE WHEN contains($url, '.scala') OR contains($url, '.java') THEN 1.0e0 " +
+      s"WHEN contains($url, '.md') THEN 0.95e0 ELSE 0.0e0 END AS f17, " +
+      s"$f18 AS f18 " +
+      "FROM cg JOIN documents d ON d.doc_id = cg.doc_id)"
+    // reference min/max scan as an insertion-order fold: acc = [mn, mx]
+    def fold(fc: String) =
+      s"list_reduce(list_prepend([1.7976931348623157e308, 4.9e-324], " +
+      s"list_transform(list($fc ORDER BY ord), v -> [v, v])), " +
+      "(acc, x) -> CASE WHEN isnan(x[1]) THEN acc " +
+      "WHEN x[1] > acc[2] THEN [acc[1], x[1]] " +
+      "WHEN x[1] < acc[1] THEN [x[1], acc[2]] ELSE acc END)"
+    val mm = "mm AS (SELECT " +
+      (1 to 18).map(i => s"${fold(s"f$i")} AS m$i").mkString(", ") +
+      " FROM raw)"
+    def rule(i: Int) =
+      s"CASE WHEN (m$i[2] = 0 AND m$i[1] = 0) OR (m$i[2] = 1 AND m$i[1] = 0) " +
+      s"THEN (CASE WHEN isnan(f$i) THEN 0.0e0 ELSE f$i END) " +
+      s"WHEN m$i[2] = m$i[1] THEN 0.0e0 " +
+      s"WHEN isnan(f$i) THEN 0.0e0 " +
+      s"ELSE (f$i - m$i[1]) / (m$i[2] - m$i[1]) END"
+    withToks(ctes ++ Seq(cand, st, cg, raw, mm): _*) +
+      "\nSELECT doc_id, " +
+      (1 to 18).map(i => s"round(${rule(i)}, 6) AS f$i").mkString(", ") +
+      " FROM raw CROSS JOIN mm ORDER BY doc_id"
+  }
+
+  private def IndriModel2 = EntryQueries.IndriModel
+
   // -------------------------------------------------------- text ops
 
   def tokenStats: String =
@@ -434,6 +544,31 @@ object OracleGen {
       s"(CASE WHEN $dot > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  private def bandKeySql(v: String, bnd: Int): String =
+    (0 until Similarity.BandBits).map { b =>
+      val i = bnd * Similarity.BandBits + b
+      val w = (0 until Similarity.Dim)
+        .map(j => d(Similarity.lshWeight(i, j).toDouble)).mkString("[", ", ", "]")
+      val dot = s"list_reduce(list_prepend(0.0e0, list_transform(" +
+        s"generate_series(1, len($v)), j -> $v[j] * ($w)[j])), (x, y) -> x + y)"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Banded multi-probe SRP: candidate iff ≥1 of the 4 8-bit band keys
+    * matches the probe's (`Similarity.lshTopKBanded`). */
+  def annBanded(k: Int): String = {
+    val bands = 0 until Similarity.BandCount
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "p AS (SELECT v AS pv FROM e WHERE vec_id = 0), " +
+    s"eb AS (SELECT vec_id, v, ${bands.map(bnd => bandKeySql("v", bnd) + s" AS b$bnd").mkString(", ")} FROM e), " +
+    s"bp AS (SELECT ${bands.map(bnd => bandKeySql("pv", bnd) + s" AS k$bnd").mkString(", ")} FROM p)\n" +
+    s"SELECT vec_id, sim FROM (SELECT eb.vec_id AS vec_id, ${cosSql("eb.v", "p.pv")} AS sim " +
+    "FROM eb CROSS JOIN p CROSS JOIN bp WHERE (" +
+    bands.map(bnd => s"eb.b$bnd = bp.k$bnd").mkString(" OR ") +
+    ") AND eb.vec_id <> 0) " +
+    s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
+  }
+
   def annLsh(k: Int): String =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
     "p AS (SELECT v AS pv FROM e WHERE vec_id = 0), " +
@@ -503,6 +638,7 @@ object OracleGen {
       "q_window" -> windowOracle(Seq("spark", "merge", "batch"), 8),
       "q_prf_expand" -> prfExpand(Seq("spark", "merge"), 10, 10, 2500.0),
       "q_media_features" -> mediaFeatures,
+      "q_letor_features" -> letorFeatures(Seq("spark", "hash", "join"), 50),
       "q_token_stats" -> tokenStats,
       "q_quality" -> quality(AnalyzerConfig.luceneEnglishStopwords.toSeq.sorted),
       "q_lang_id" -> langId,
@@ -514,6 +650,7 @@ object OracleGen {
       "q_simhash" -> simhash,
       "q_ann_cosine" -> annCosine(20),
       "q_ann_lsh" -> annLsh(10),
+      "q_ann_banded" -> annBanded(10),
       "q_media_meta" -> mediaMeta
     )
   }

@@ -109,9 +109,12 @@ final class SearchEngine(val index: Index,
       .join(index.docs.select(col("docid"), col("extid")), "docid")
       .orderBy(desc("score"), asc("extid"))
       .limit(k)
-    // rank numbering happens on ≤k rows — single tiny partition is fine.
+    // rank numbering happens on ≤k rows — a constant partition key keeps
+    // the plan identical (still one tiny partition) but stops WindowExec's
+    // "No Partition Defined" warning from burying real regressions.
     ranked.withColumn("rank",
-      row_number().over(Window.orderBy(desc("score"), asc("extid"))))
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(desc("score"), asc("extid"))))
       .select("docid", "extid", "rank", "score")
   }
 }

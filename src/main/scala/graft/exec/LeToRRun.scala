@@ -1,0 +1,134 @@
+package graft.exec
+
+import graft.analysis.AnalyzerConfig
+import graft.api.{ParamFile, SearchEngine, TrecWriter}
+import graft.model.{BM25, Indri}
+import org.apache.spark.sql.functions._
+
+/** E3: the `retrievalAlgorithm=letor` end-to-end run
+  * (`QryEval/src/QryEval.java:125-226`, `LearnToRank.java:21-104,120-167`):
+  *
+  *  1. TRAIN — for each `letor:trainingQueryFile` query, build features
+  *     for every `letor:trainingQrelsFile` document (qrels file order =
+  *     normalization insertion order), normalize per query, append
+  *     svm-light lines to `letor:trainingFeatureVectorsFile`, then train
+  *     the ranker (pairwise-logistic substitute for `svm_rank_learn`) and
+  *     write the weight vector to `letor:svmRankModelFile`.
+  *  2. TEST — for each test query, take the BM25 top-100 as candidates
+  *     (rank order = insertion order, rel 0), append feature lines to
+  *     `letor:testingFeatureVectorsFile`, score with the model
+  *     (`svm_rank_classify` substitute) appending one score per line to
+  *     `letor:testingDocumentScores`, re-sort each query's candidates by
+  *     the new score (stable — ties keep BM25 rank order, like
+  *     `Arrays.sort` with `ReverseScoreOrder`) and write the TREC file.
+  *
+  * Driver-side collects are the per-query ≤100-row candidate lists and
+  * the training matrix — the same data the reference pipes through files
+  * to the external svm_rank process.
+  */
+object LeToRRun {
+
+  private def appendLines(path: String, lines: Seq[String]): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(path, true))
+    try lines.foreach(l => w.write(l + "\n")) finally w.close()
+  }
+
+  /** `qid 0 extid rel` lines → (qid, extid, rel) in FILE ORDER
+    * (`LearnToRank.java:44-68`). */
+  def loadQrels(path: String): Seq[(Int, String, Int)] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
+      val p = l.split("\\s+")
+      (p(0).toInt, p(2), p(3).toInt)
+    }.toSeq
+    finally src.close()
+  }
+
+  /** `extid score` lines (`LearnToRank.java:82-90`). */
+  def loadPageRank(path: String): Map[String, Double] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
+      val p = l.split("\\s+"); p(0) -> p(1).toDouble
+    }.toMap
+    finally src.close()
+  }
+
+  def run(engine: SearchEngine, params: Map[String, String],
+          cfg: AnalyzerConfig): Unit = {
+    val spark = engine.index.spark
+    import spark.implicits._
+    val bm25 = BM25(params.getOrElse("BM25:k_1", "1.2").toFloat,
+      params.getOrElse("BM25:b", "0.75").toFloat,
+      params.getOrElse("BM25:k_3", "0").toFloat)
+    val indri = Indri(params.getOrElse("Indri:mu", "2500").toFloat,
+      params.getOrElse("Indri:lambda", "0.4").toFloat)
+    val pageRank = params.get("letor:pageRankFile")
+      .map(loadPageRank).getOrElse(Map.empty)
+    val disabled = params.get("letor:featureDisable")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set.empty[Int])
+
+    def normalizedFeatures(qid: Int, queryText: String,
+                           cands: Seq[(String, Int)]) = {
+      // cands = (extid, rel) in insertion order; unknown extids fail loudly
+      val candDf = broadcast(cands.zipWithIndex
+        .map { case ((e, r), i) => (e, r, i) }
+        .toDF("extid", "rel", "ord"))
+      val withIds = candDf
+        .join(engine.index.docs.select($"docid", $"extid"), Seq("extid"))
+      require(withIds.count() == cands.length,
+        s"qrels/candidate extids missing from index for query $qid")
+      val feats = LeToR.rawFeatures(engine.index, queryText, cfg,
+        withIds.select("docid"), bm25, indri, pageRank)
+      LeToR.normalize(
+        feats.join(withIds, "docid").withColumn("qid", lit(qid)))
+    }
+
+    def svmLines(norm: org.apache.spark.sql.DataFrame): Seq[String] =
+      LeToR.svmLight(norm, disabled)
+        .orderBy("ord").select("line").as[String].collect().toSeq
+
+    // ---------------------------------------------------------- train
+    val trainQueries = ParamFile.loadQueries(params("letor:trainingQueryFile"))
+    val qrels = loadQrels(params("letor:trainingQrelsFile"))
+    val trainVecFile = params("letor:trainingFeatureVectorsFile")
+    new java.io.File(trainVecFile).delete()
+    val trainNorm = trainQueries.map { case (qid, q) =>
+      val rels = qrels.collect { case (id, e, r) if id == qid => (e, r) }
+      val norm = normalizedFeatures(qid, q, rels).cache()
+      appendLines(trainVecFile, svmLines(norm))
+      norm
+    }
+    val w = LeToR.trainPairwise(trainNorm.reduce(_ unionByName _),
+      disabled = disabled)
+    params.get("letor:svmRankModelFile").foreach { f =>
+      new java.io.File(f).delete()
+      appendLines(f, w.map(_.toString).toSeq)
+    }
+
+    // ----------------------------------------------------------- test
+    val testVecFile = params.get("letor:testingFeatureVectorsFile")
+    val scoresFile = params.get("letor:testingDocumentScores")
+    val out = params("trecEvalOutputPath")
+    Seq(testVecFile, scoresFile, Some(out)).flatten
+      .foreach(f => new java.io.File(f).delete())
+    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q) =>
+      val top = engine.search(q, bm25, 100)
+        .orderBy("rank").select("extid").as[String].collect().toSeq
+      if (top.isEmpty) TrecWriter.append(out, qid, Seq.empty)
+      else {
+        val norm = normalizedFeatures(qid, q, top.map(e => (e, 0))).cache()
+        testVecFile.foreach(f => appendLines(f, svmLines(norm)))
+        val scored = LeToR.score(norm, w)
+          .join(norm.select("docid", "ord", "extid"), "docid")
+          .orderBy("ord")
+          .select("extid", "score", "ord").as[(String, Double, Int)]
+          .collect().toSeq
+        scoresFile.foreach(f => appendLines(f, scored.map(_._2.toString)))
+        val reranked = scored.sortBy { case (_, s, ord) => (-s, ord) }
+          .zipWithIndex
+          .map { case ((e, s, _), i) => (e, i + 1, s) }
+        TrecWriter.append(out, qid, reranked)
+      }
+    }
+  }
+}

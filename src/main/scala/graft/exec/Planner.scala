@@ -72,6 +72,11 @@ final class Planner(index: Index, model: RetrievalModel) {
       case WSum(_, as)   => as.flatMap(leaves)
     }
     val ls = leaves(q).distinct
+    // Unknown field = syntax error (reference indexes a fixed field set,
+    // `QryEval/src/QryEval.java:467`; silently matching nothing hid typos)
+    ls.map(_._2).distinct.foreach(f =>
+      require(index.indexedFields.contains(f),
+        s"Query syntax is incorrect. Unknown field: $f"))
     if (ls.isEmpty) return Map.empty
     val conds = ls.map { case (t, f) => $"term" === t && $"field" === f }
       .reduce(_ || _)

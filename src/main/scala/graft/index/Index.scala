@@ -43,9 +43,18 @@ final class Index(
     blocksOpt: Option[Dataset[PostingBlock]] = None,
     /** docid-bucket count of the build (the salt domain) — the store
       * repartitions persisted tables to ~1 file per segment. */
-    val buckets: Int = 64) extends Serializable {
+    val buckets: Int = 64,
+    /** Fields this index was built with (IndexConfig.fields), persisted
+      * in stats.json. None (legacy snapshots) ⇒ derived from the fields
+      * that actually contain documents. */
+    indexedFieldsOpt: Option[Seq[String]] = None) extends Serializable {
 
   lazy val stats: IndexStats = statsThunk()
+
+  /** Known fields — queries against any other field are a syntax error
+    * (the round-1 behavior of silently matching nothing hid typos). */
+  lazy val indexedFields: Set[String] =
+    indexedFieldsOpt.map(_.toSet).getOrElse(stats.fields.keySet)
 
   def fieldStats(field: String): FieldStats =
     stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))

@@ -181,6 +181,7 @@ object IndexBuilder {
 
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),
-      statsThunk = () => statsOf(docs, doclen), buckets = cfg.buckets)
+      statsThunk = () => statsOf(docs, doclen), buckets = cfg.buckets,
+      indexedFieldsOpt = Some(cfg.fields))
   }
 }

@@ -75,52 +75,64 @@ object IndexStore {
         .partitionBy("segment").parquet(s"$dir/postings")
     }
     def postingsOnDisk = spark.read.parquet(s"$dir/postings")
-
-    writeTable("doclen") {
-      IndexBuilder.doclenOf(postingsOnDisk)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-    }
     def doclenOnDisk = spark.read.parquet(s"$dir/doclen")
 
-    writeTable("termstats") {
-      IndexBuilder.termStatsOf(postingsOnDisk)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-    }
-    // the compressed serving form (north rule: delta-gap + varbyte blocks
-    // with block-max metadata), partitioned like the raw postings
-    writeTable("postings_blocks") {
-      PostingBlocks.fromPostings(spark,
-          postingsOnDisk
-            .select("term", "field", "docid", "tf", "positions", "len"),
-          doclenOnDisk)
-        .repartition(index.buckets, col("segment"))
-        .sortWithinPartitions("segment", "term", "blockId")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("segment").parquet(s"$dir/postings_blocks")
-    }
-    writeTable("docs") {
-      index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-    }
-
-    // lineage + metrics manifest (north rule): per-segment row counts,
-    // term counts, build wall-clock.
-    if (!Files.exists(marker(dir, "manifest"))) {
-      val buildMillis = System.currentTimeMillis() - t0
-      postingsOnDisk
-        .groupBy("segment")
-        .agg(count(lit(1)).as("postingCount"),
-          approx_count_distinct(col("term")).as("termCountApprox"),
-          max(col("docid")).as("maxDocid"))
-        .withColumn("buildMillis", lit(buildMillis))
-        .withColumn("snapshotId", lit(t0))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
-      Files.createFile(marker(dir, "manifest"))
-    }
+    // Every derived table depends ONLY on the persisted postings (doc
+    // length rides inline on posting rows, so even the block build needs
+    // no doclen barrier) — run them as CONCURRENT Spark jobs. The
+    // scheduler interleaves their tasks, filling the cores a sequential
+    // job-per-table commit leaves idle between stages; this is the fixed
+    // per-run overhead that capped round-1 scaling efficiency at ~0.74.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val derived = Seq(
+      Future(writeTable("doclen") {
+        IndexBuilder.doclenOf(postingsOnDisk)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+      }),
+      Future(writeTable("termstats") {
+        IndexBuilder.termStatsOf(postingsOnDisk)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+      }),
+      // the compressed serving form (north rule: delta-gap + varbyte
+      // blocks with block-max metadata), partitioned like the postings
+      Future(writeTable("postings_blocks") {
+        PostingBlocks.fromPostings(spark,
+            postingsOnDisk
+              .select("term", "field", "docid", "tf", "positions", "len"),
+            spark.emptyDataFrame /* len is inline */)
+          .repartition(index.buckets, col("segment"))
+          .sortWithinPartitions("segment", "term", "blockId")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("segment").parquet(s"$dir/postings_blocks")
+      }),
+      Future(writeTable("docs") {
+        index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+      }),
+      // lineage + metrics manifest (north rule): per-segment row counts,
+      // term counts, build wall-clock.
+      Future(if (!Files.exists(marker(dir, "manifest"))) {
+        val buildMillis = System.currentTimeMillis() - t0
+        postingsOnDisk
+          .groupBy("segment")
+          .agg(count(lit(1)).as("postingCount"),
+            approx_count_distinct(col("term")).as("termCountApprox"),
+            max(col("docid")).as("maxDocid"))
+          .withColumn("buildMillis", lit(buildMillis))
+          .withColumn("snapshotId", lit(t0))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+        Files.createFile(marker(dir, "manifest"))
+      }))
+    try Await.result(Future.sequence(derived), Duration.Inf)
+    finally pool.shutdown()
 
     // global stats from the persisted tables (no corpus re-read)
     writeStats(IndexBuilder.statsOf(
         spark.read.parquet(s"$dir/docs"), doclenOnDisk),
-      s"$dir/stats.json", index.buckets)
+      s"$dir/stats.json", index.buckets, index.indexedFields.toSeq.sorted)
 
     // atomic commit: tmp + move
     val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
@@ -134,7 +146,7 @@ object IndexStore {
 
   def load(spark: SparkSession, dir: String): Index = {
     require(exists(dir), s"no committed index snapshot at $dir")
-    val (stats, buckets) = readStats(s"$dir/stats.json")
+    val (stats, buckets, indexedFields) = readStats(s"$dir/stats.json")
     import spark.implicits._
     val blocks = spark.read.parquet(s"$dir/postings_blocks")
       .withColumn("segment", col("segment").cast("long"))
@@ -150,29 +162,36 @@ object IndexStore {
       spark.read.parquet(s"$dir/termstats"),
       statsThunk = () => stats,
       blocksOpt = Some(blocks),
-      buckets = buckets)
+      buckets = buckets,
+      indexedFieldsOpt =
+        if (indexedFields.nonEmpty) Some(indexedFields) else None)
   }
 
-  def writeStats(stats: IndexStats, path: String,
-                 buckets: Int = 64): Unit = {
+  def writeStats(stats: IndexStats, path: String, buckets: Int = 64,
+                 indexedFields: Seq[String] = Seq.empty): Unit = {
     val fields = stats.fields.values.map(f =>
       s"""{"field":"${f.field}","docCount":${f.docCount},""" +
       s""""collectionLength":${f.collectionLength}}""").mkString(",")
+    val idxf = indexedFields.map("\"" + _ + "\"").mkString(",")
     Files.writeString(Paths.get(path),
       s"""{"numDocs":${stats.numDocs},"buckets":$buckets,""" +
-      s""""fields":[$fields]}""")
+      s""""indexedFields":[$idxf],"fields":[$fields]}""")
   }
 
-  def readStats(path: String): (IndexStats, Int) = {
+  def readStats(path: String): (IndexStats, Int, Seq[String]) = {
     val s = Files.readString(Paths.get(path))
     val numDocs = """"numDocs":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(64)
+    val idxf = """"indexedFields":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
     val fieldRe =
       """\{"field":"([^"]+)","docCount":(\d+),"collectionLength":(\d+)\}""".r
     val fields = fieldRe.findAllMatchIn(s).map { m =>
       m.group(1) -> FieldStats(m.group(1), m.group(2).toLong, m.group(3).toLong)
     }.toMap
-    (IndexStats(numDocs, fields), buckets)
+    (IndexStats(numDocs, fields), buckets, idxf)
   }
 }

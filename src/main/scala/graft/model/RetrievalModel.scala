@@ -21,10 +21,16 @@ object RetrievalModel {
     p.getOrElse("retrievalAlgorithm", "UnrankedBoolean") match {
       case "UnrankedBoolean" => UnrankedBoolean
       case "RankedBoolean"   => RankedBoolean
-      case "BM25" | "letor" =>
+      case "BM25" =>
         BM25(p.getOrElse("BM25:k_1", "1.2").toFloat,
              p.getOrElse("BM25:b", "0.75").toFloat,
              p.getOrElse("BM25:k_3", "0").toFloat)
+      case "letor" =>
+        // letor is an orchestration (train + rerank), not a scoring model
+        // — callers must branch to LeToRRun (Main does); silently scoring
+        // plain BM25 here hid the missing E3 path in round 1.
+        throw new IllegalArgumentException(
+          "retrievalAlgorithm=letor is handled by LeToRRun, not a scoring model")
       case "Indri" =>
         Indri(p.getOrElse("Indri:mu", "2500").toFloat,
               p.getOrElse("Indri:lambda", "0.4").toFloat)

@@ -21,8 +21,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * (skip if present — the standard idempotent-sink pattern). Global
   * docid uniqueness: the batch id occupies bits above the bucket field
   * (`docid = batchId << 52 | bucket << 43 | rank`), so segment builds
-  * never coordinate and never collide; ≤ 512 buckets, ≤ 4096 batches
-  * per stream epoch.
+  * never coordinate and never collide; ≤ 512 buckets, ≤ 2048 batches
+  * per stream epoch (11 bits before the shift reaches the sign bit —
+  * enforced in [[processBatch]]).
   *
   * Query-time: [[loadMerged]] unions the segment tables and recomputes
   * exact global statistics (df/ctf/collection lengths) with associative
@@ -43,6 +44,8 @@ object StreamingIndexer {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     require(cfg.buckets <= 512, "streaming segments need buckets <= 512")
+    require(batchId < (1L << (63 - BatchShift)),
+      s"batchId $batchId overflows the docid layout (max ${(1L << (63 - BatchShift)) - 1}); compact segments first")
 
     val idx = IndexBuilder.build(spark, batch, cfg)
     val shift = lit(batchId << BatchShift)

@@ -1,0 +1,110 @@
+package graft
+
+import graft.analysis.AnalyzerConfig
+import graft.api.SearchEngine
+import graft.corpus.CorpusGen
+import graft.exec.LeToRRun
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.BM25
+import org.scalatest.funspec.AnyFunSpec
+import java.nio.file.{Files, Paths}
+
+/** E3: the full `retrievalAlgorithm=letor` orchestration
+  * (`QryEval/src/QryEval.java:125-226`) — train on qrels, write feature
+  * vector + model + score files, rerank the BM25 top-100, TREC out. */
+class LeToRRunSpec extends AnyFunSpec {
+
+  private val cfg = AnalyzerConfig.code
+  private lazy val spark = TestSpark.spark
+
+  private lazy val engine: SearchEngine = {
+    val idx = IndexBuilder.build(spark, CorpusGen.df(spark, 200),
+      IndexConfig(analyzer = cfg, buckets = 8,
+        fields = Seq("body", "title", "url", "inlink", "keywords")))
+      .cacheAll()
+    new SearchEngine(idx, cfg)
+  }
+
+  private def write(path: String, text: String): String = {
+    Files.writeString(Paths.get(path), text); path
+  }
+
+  private def run(dir: String): Map[String, String] = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    // synthetic qrels: BM25 top-6 of each training query = relevant(1),
+    // next 6 = non-relevant(0) — mixed labels, learnable
+    val trainQs = Seq(81 -> "open inverted index", 82 -> "query evaluation")
+    val qrelsLines = trainQs.flatMap { case (qid, q) =>
+      val top = engine.search(q, BM25(1.2f, 0.75f, 0f), 12)
+        .orderBy("rank").select("extid").as[String].collect()
+      top.zipWithIndex.map { case (e, i) =>
+        s"$qid 0 $e ${if (i < 6) 1 else 0}"
+      }
+    }
+    val params = Map(
+      "retrievalAlgorithm" -> "letor",
+      "BM25:k_1" -> "1.2", "BM25:b" -> "0.75", "BM25:k_3" -> "0",
+      "Indri:mu" -> "2500", "Indri:lambda" -> "0.4",
+      "letor:trainingQueryFile" -> write(s"$dir/train.q",
+        trainQs.map { case (id, q) => s"$id:$q" }.mkString("\n")),
+      "letor:trainingQrelsFile" -> write(s"$dir/train.qrels",
+        qrelsLines.mkString("\n")),
+      "letor:trainingFeatureVectorsFile" -> s"$dir/train.fv",
+      "letor:testingFeatureVectorsFile" -> s"$dir/test.fv",
+      "letor:svmRankModelFile" -> s"$dir/model.txt",
+      "letor:testingDocumentScores" -> s"$dir/test.scores",
+      "queryFilePath" -> write(s"$dir/test.q", "1:open inverted index"),
+      "trecEvalOutputPath" -> s"$dir/run.teIn")
+    LeToRRun.run(engine, params, cfg)
+    params
+  }
+
+  it("trains, writes all artifacts, and reranks deterministically") {
+    val dir = Files.createTempDirectory("letor-e2e-").toString
+    val params = run(dir)
+
+    val trainFv = Files.readAllLines(Paths.get(s"$dir/train.fv"))
+    assert(trainFv.size == 24) // 12 qrels docs × 2 training queries
+    assert(trainFv.get(0).matches("[01] qid:81 1:.*# .+"))
+
+    val model = Files.readAllLines(Paths.get(s"$dir/model.txt"))
+    assert(model.size == 18 && model.stream.anyMatch(_.toDouble != 0.0))
+
+    val run1 = Files.readAllLines(Paths.get(s"$dir/run.teIn"))
+    assert(run1.size == 100)
+    assert(run1.get(0).split("\t").length == 6)
+    // ranks are 1..100 and scores come from the model (not BM25)
+    val ranks = (0 until 100).map(i => run1.get(i).split("\t")(3).toInt)
+    assert(ranks == (1 to 100))
+    val scores = Files.readAllLines(Paths.get(s"$dir/test.scores"))
+    assert(scores.size == 100)
+    // reranked TREC scores are the model scores sorted descending
+    val modelScores = (0 until 100)
+      .map(i => scores.get(i).toDouble).sorted.reverse
+    val trecScores = (0 until 100)
+      .map(i => run1.get(i).split("\t")(4).toDouble)
+    assert(trecScores == modelScores)
+
+    // determinism: a second run reproduces every artifact byte-for-byte
+    val dir2 = Files.createTempDirectory("letor-e2e2-").toString
+    run(dir2)
+    Seq("train.fv", "model.txt", "test.fv", "test.scores", "run.teIn")
+      .foreach { f =>
+        assert(Files.readString(Paths.get(s"$dir/$f")) ==
+          Files.readString(Paths.get(s"$dir2/$f")), f)
+      }
+  }
+
+  it("the rerank actually changes the order vs plain BM25 (model is used)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("letor-e2e3-").toString
+    run(dir)
+    val reranked = Files.readAllLines(Paths.get(s"$dir/run.teIn"))
+    val rerankedExt = (0 until 100).map(i => reranked.get(i).split("\t")(2))
+    val bm25Ext = engine.search("open inverted index", BM25(1.2f, 0.75f, 0f), 100)
+      .orderBy("rank").select("extid").as[String].collect().toSeq
+    assert(rerankedExt.toSet == bm25Ext.toSet) // same candidates
+    assert(rerankedExt != bm25Ext)             // different order
+  }
+}
