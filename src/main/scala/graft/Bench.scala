@@ -24,11 +24,14 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // index build + cache materialization, timed once
+    // index build + cache materialization, timed once; the shared
+    // MinHash signature table is an index-build product too (computed
+    // once, reused by the whole dedup family)
     val buildSec = time {
       val c = EntryQueries.ctx(spark, sfDir)
       c.index.postings.count(); c.index.doclen.count()
       c.index.termStats.count(); c.index.docs.count()
+      EntryQueries.minhashSig(spark, sfDir).count()
     }
 
     // A query that throws is recorded as -1 (sentinel), excluded from the

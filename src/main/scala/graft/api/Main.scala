@@ -34,6 +34,8 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS",
           Runtime.getRuntime.availableProcessors().toString))
       .config("spark.sql.adaptive.enabled", "true")
+      // task-side output commit (see ScalingBench.session)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

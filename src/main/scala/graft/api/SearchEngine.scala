@@ -109,11 +109,13 @@ final class SearchEngine(val index: Index,
       .join(index.docs.select(col("docid"), col("extid")), "docid")
       .orderBy(desc("score"), asc("extid"))
       .limit(k)
-    // rank numbering happens on ≤k rows — a constant partition key keeps
-    // the plan identical (still one tiny partition) but stops WindowExec's
-    // "No Partition Defined" warning from burying real regressions.
+    // rank numbering happens on ≤k rows — an always-zero partition key
+    // keeps the plan identical (one tiny partition) but stops WindowExec's
+    // "No Partition Defined" warning from burying real regressions. A
+    // literal won't do: constant folding strips foldable partition specs
+    // and the warning returns, so use a non-foldable zero.
     ranked.withColumn("rank",
-      row_number().over(Window.partitionBy(lit(0))
+      row_number().over(Window.partitionBy(pmod(col("docid"), lit(1)))
         .orderBy(desc("score"), asc("extid"))))
       .select("docid", "extid", "rank", "score")
   }

@@ -69,8 +69,12 @@ object PostingBlocks {
     // provided it (the scale path — no join); otherwise join doclen
     val withLen =
       if (postings.columns.contains("len")) postings
-      else postings.join(
-        doclen.select($"docid", $"field", $"len"), Seq("docid", "field"))
+      else {
+        require(doclen.columns.contains("len"),
+          "postings carry no inline len and no doclen table was supplied")
+        postings.join(
+          doclen.select($"docid", $"field", $"len"), Seq("docid", "field"))
+      }
     withLen
       .select($"term", $"field",
         shiftright($"docid", IndexBuilder.BucketShift).as("segment"),

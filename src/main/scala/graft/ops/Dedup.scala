@@ -71,7 +71,14 @@ object Dedup {
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
                     candidates: DataFrame, n: Int,
                     threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("sh"))
+    // shingle ONLY docs that appear in a candidate pair — the semi-join
+    // broadcasts the candidate ids over the corpus scan, so the (pricey)
+    // shingle computation never runs on the non-candidate 99%+ of a
+    // 100 TB corpus
+    val ids = candidates.select(col("a_id").as(idCol))
+      .union(candidates.select(col("b_id").as(idCol))).distinct()
+    val sh = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("sh"))
     candidates
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
