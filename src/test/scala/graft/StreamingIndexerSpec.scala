@@ -74,5 +74,33 @@ class StreamingIndexerSpec extends AnyFunSpec {
       val after = StreamingIndexer.loadMerged(spark, dir)
       assert(logicalPostings(after) == sig)
     }
+
+    it("a batch id that would overflow the docid layout is rejected") {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-stream3-").toString
+      val e = intercept[IllegalArgumentException] {
+        StreamingIndexer.processBatch(dir, cfg)(
+          CorpusGen.docs(3).toDF(), 2048L)
+      }
+      assert(e.getMessage.contains("overflows"))
+      // 2047 is the last valid id
+      StreamingIndexer.processBatch(dir, cfg)(CorpusGen.docs(3).toDF(), 2047L)
+      assert(StreamingIndexer.committedSegments(dir) == Seq(2047L))
+    }
+
+    it("compaction: merged segments persist via IndexStore and reload identically") {
+      import spark.implicits._
+      val segDir = Files.createTempDirectory("graft-stream4-").toString
+      val storeDir = Files.createTempDirectory("graft-compact-").toString + "/idx"
+      val all = CorpusGen.docs(40)
+      val (b1, b2) = all.splitAt(20)
+      StreamingIndexer.processBatch(segDir, cfg)(b1.toDF(), 0L)
+      StreamingIndexer.processBatch(segDir, cfg)(b2.toDF(), 1L)
+      val merged = StreamingIndexer.loadMerged(spark, segDir)
+      graft.index.IndexStore.save(merged, storeDir)
+      val reloaded = graft.index.IndexStore.load(spark, storeDir)
+      assert(logicalPostings(reloaded) == logicalPostings(merged))
+      assert(reloaded.stats == merged.stats)
+    }
   }
 }
