@@ -96,6 +96,40 @@ class LeToRRunSpec extends AnyFunSpec {
       }
   }
 
+  it("letor:featureDisable drops the indices from vectors and zeroes their weights") {
+    val dir = Files.createTempDirectory("letor-e2e4-").toString
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val trainQs = Seq(91 -> "open inverted index")
+    val qrelsLines = {
+      val top = engine.search("open inverted index", BM25(1.2f, 0.75f, 0f), 12)
+        .orderBy("rank").select("extid").as[String].collect()
+      top.zipWithIndex.map { case (e, i) => s"91 0 $e ${if (i < 6) 1 else 0}" }
+    }
+    val params = Map(
+      "retrievalAlgorithm" -> "letor",
+      "BM25:k_1" -> "1.2", "BM25:b" -> "0.75", "BM25:k_3" -> "0",
+      "Indri:mu" -> "2500", "Indri:lambda" -> "0.4",
+      "letor:featureDisable" -> "5,6,7",
+      "letor:trainingQueryFile" -> write(s"$dir/train.q",
+        trainQs.map { case (id, q) => s"$id:$q" }.mkString("\n")),
+      "letor:trainingQrelsFile" -> write(s"$dir/train.qrels",
+        qrelsLines.mkString("\n")),
+      "letor:trainingFeatureVectorsFile" -> s"$dir/train.fv",
+      "letor:svmRankModelFile" -> s"$dir/model.txt",
+      "queryFilePath" -> write(s"$dir/test.q", "1:query evaluation"),
+      "trecEvalOutputPath" -> s"$dir/run.teIn")
+    LeToRRun.run(engine, params, cfg)
+    val fv = Files.readAllLines(Paths.get(s"$dir/train.fv"))
+    fv.forEach { l =>
+      assert(!l.contains(" 5:") && !l.contains(" 6:") && !l.contains(" 7:"), l)
+      assert(l.contains(" 4:") && l.contains(" 8:"), l)
+    }
+    val w = Files.readAllLines(Paths.get(s"$dir/model.txt"))
+    assert(w.get(4).toDouble == 0.0 && w.get(5).toDouble == 0.0 &&
+      w.get(6).toDouble == 0.0)
+  }
+
   it("the rerank actually changes the order vs plain BM25 (model is used)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("letor-e2e3-").toString
