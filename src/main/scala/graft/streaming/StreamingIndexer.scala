@@ -52,12 +52,23 @@ object StreamingIndexer {
     def rebase(df: DataFrame): DataFrame =
       df.withColumn("docid", col("docid") + shift)
 
+    // Staged like IndexStore.save: the batch text is tokenized EXACTLY
+    // ONCE (the postings write); doclen/termstats/stats derive from the
+    // persisted columnar postings. Writing each table from the in-memory
+    // lineage instead would re-run the tokenize UDF per table (~4 passes
+    // per micro-batch).
     Files.createDirectories(Paths.get(segDir))
     rebase(idx.postings).write.mode("overwrite").parquet(s"$segDir/postings")
-    rebase(idx.doclen).write.mode("overwrite").parquet(s"$segDir/doclen")
+    val postingsOnDisk = spark.read.parquet(s"$segDir/postings")
+    IndexBuilder.doclenOf(postingsOnDisk)
+      .write.mode("overwrite").parquet(s"$segDir/doclen")
+    IndexBuilder.termStatsOf(postingsOnDisk)
+      .write.mode("overwrite").parquet(s"$segDir/termstats")
     rebase(idx.docs).write.mode("overwrite").parquet(s"$segDir/docs")
-    idx.termStats.write.mode("overwrite").parquet(s"$segDir/termstats")
-    IndexStore.writeStats(idx.stats, s"$segDir/stats.json")
+    IndexStore.writeStats(
+      IndexBuilder.statsOf(spark.read.parquet(s"$segDir/docs"),
+        spark.read.parquet(s"$segDir/doclen")),
+      s"$segDir/stats.json", cfg.buckets, cfg.fields)
     // manifest row: per-segment lineage + build metrics (north rule)
     val m = s"""{"segment":$batchId,"numDocs":${idx.stats.numDocs},""" +
       s""""committedAtMs":${System.currentTimeMillis()}}"""
