@@ -78,6 +78,20 @@ object EntryQueries {
       Dedup.minhashSignature(documents(spark, sfDir), "doc_id", "text", 3)
         .cache())
 
+  /** Per-band bucketed ANN layout for this sf dir — materialized ONCE
+    * (the way a serving deployment maintains the multi-index layout) so
+    * every banded probe runs against partition-pruned replica scans
+    * instead of computing band keys over the full table per probe. */
+  private val annDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def annBucketedDir(spark: SparkSession, sfDir: String): String =
+    annDirCache.computeIfAbsent(sfDir, _ => {
+      val dir = graft.util.Scratch.dir("graft-ann-bucketed-")
+      Similarity.writeBucketed(embeddings(spark, sfDir),
+        "vec_id", "embedding", dir)
+      dir
+    })
+
   // -------------------------------------------- engine-side helpers
 
   /** Ranked search → (doc_id, rank, score). */
@@ -164,8 +178,7 @@ object EntryQueries {
     "q_streaming_doclen" -> ((s, d) => {
       import graft.streaming.StreamingIndexer
       import graft.index.IndexConfig
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-entry-stream-").toString
+      val dir = graft.util.Scratch.dir("graft-entry-stream-")
       val corp = corpus(s, d).cache()
       val half = lit(250L)
       StreamingIndexer.processBatch(dir, IndexConfig(cfg, buckets = 8))(
@@ -279,11 +292,14 @@ object EntryQueries {
       val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
       Similarity.lshTopK(e, "vec_id", "embedding", probe, 0L, 10)
     }),
-    // 32-bit banded multi-probe SRP — the recall-preserving scale path
+    // 32-bit banded multi-probe SRP over the STORED per-band bucketed
+    // layout — every band's candidates come from a partition-pruned
+    // replica scan (the 100 TB serving path, not a per-probe full scan)
     "q_ann_banded" -> ((s, d) => {
       val e = embeddings(s, d)
       val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
-      Similarity.lshTopKBanded(e, "vec_id", "embedding", probe, 0L, 10)
+      Similarity.lshTopKStored(s, annBucketedDir(s, d),
+        "vec_id", "embedding", probe, 0L, 10)
     }),
 
     // --- multimodal binary-column plumbing

@@ -99,18 +99,26 @@ object Similarity {
       when(dot(vecCol, w) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Banded-LSH ANN: candidates share ≥1 of the probe's band keys; exact
-    * cosine top-k within the candidate set. One scan, pure expressions —
-    * at scale, pair with [[writeBucketed]] so the scan prunes on band 0. */
+  /** The probe vector's per-band keys, evaluated through the SAME Column
+    * expression the table side uses (one tiny local job — never a scan). */
+  def probeBandKeys(spark: org.apache.spark.sql.SparkSession,
+                    probe: Array[Float]): Seq[Long] = {
+    val row = spark.range(1).select(
+      (0 until BandCount).map(bnd =>
+        bandKeyCol(lit(probe), bnd).as(s"b$bnd")): _*).collect()(0)
+    (0 until BandCount).map(row.getLong)
+  }
+
+  /** Banded-LSH ANN over an UNSTORED frame: candidates share ≥1 of the
+    * probe's band keys; exact cosine top-k within the candidate set. Band
+    * keys are computed scan-side, so this is a full scan per probe — the
+    * ad-hoc/one-shot fallback. The serving path is [[writeBucketed]] +
+    * [[lshTopKStored]], where every band's candidates come from a
+    * partition-pruned scan. */
   def lshTopKBanded(df: DataFrame, idCol: String, vecCol: String,
                     probe: Array[Float], probeId: Long, k: Int): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val probeKeys: Seq[Long] = {
-      val row = spark.range(1).select(
-        (0 until BandCount).map(bnd =>
-          bandKeyCol(lit(probe), bnd).as(s"b$bnd")): _*).collect()(0)
-      (0 until BandCount).map(row.getLong)
-    }
+    val probeKeys = probeBandKeys(spark, probe)
     val anyBand = (0 until BandCount)
       .map(bnd => bandKeyCol(col(vecCol), bnd) === lit(probeKeys(bnd)))
       .reduce(_ || _)
@@ -121,30 +129,61 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucket-partitioned storage: embeddings written partitioned by the
-    * band-0 key (256 dirs). A probe's band-0 candidates then come from a
-    * PARTITION-PRUNED scan (1/256 of files); the other bands' candidates
-    * still need the full scan, so at 100 TB one replica per band (4×
-    * storage, like any multi-index layout) makes every band pruned. */
+  /** Bucket-partitioned storage, one replica PER BAND: every vector is
+    * written [[BandCount]] times, under `band=B/bucket=K` where K is its
+    * band-B key — the multi-index layout (4× storage) that makes EVERY
+    * band's probe a partition-pruned scan of ~1/2^BandBits of one
+    * replica, instead of a full scan computing band keys per row. One
+    * pass over the input (explode ×4 → hash shuffle on (band, bucket) →
+    * one file per partition dir). The `_SUCCESS` marker doubles as the
+    * commit point: with the task-side v2 committer a crashed write can
+    * leave partial files, so [[lshTopKStored]] refuses a dir without it. */
   def writeBucketed(df: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit =
     df.select(col(idCol), col(vecCol),
-        bandKeyCol(col(vecCol), 0).as("bucket"))
+        explode(array((0 until BandCount).map(b =>
+          struct(lit(b).as("band"),
+            bandKeyCol(col(vecCol), b).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col(vecCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       // one file per partition dir, not one per (task × dir)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(dir)
 
-  /** Probe the bucketed layout: band-0 candidates via partition pruning. */
+  /** Reader-side commit check (see [[writeBucketed]]). */
+  def ensureCommitted(dir: String): Unit =
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")),
+      s"bucketed ANN layout at $dir has no _SUCCESS marker (incomplete write)")
+
+  /** Probe the per-band bucketed layout: each band's candidates come from
+    * its own partition-pruned replica (the OR of (band, bucket) point
+    * predicates prunes to exactly [[BandCount]] partition dirs), vectors
+    * matching on several bands are deduplicated, then exact cosine top-k.
+    * Same answer as the scan-side [[lshTopKBanded]] by construction. */
   def lshTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, vecCol: String, probe: Array[Float],
                     probeId: Long, k: Int): DataFrame = {
-    val probeKey = spark.range(1)
-      .select(bandKeyCol(lit(probe), 0).as("b")).collect()(0).getLong(0)
+    ensureCommitted(dir)
+    val probeKeys = probeBandKeys(spark, probe)
+    val hit = (0 until BandCount)
+      .map(b => col("band") === b && col("bucket") === lit(probeKeys(b)))
+      .reduce(_ || _)
     spark.read.parquet(dir)
-      .filter(col("bucket") === probeKey && col(idCol) =!= probeId)
+      .filter(hit && col(idCol) =!= probeId)
+      .select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol) // a vector can match the probe on >1 band
       .select(col(idCol).as("vec_id"),
         cosineCol(col(vecCol), lit(probe.map(_.toDouble))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Probe ONE band of the stored layout (plan-audit helper: the spec
+    * asserts every band's probe scan shows PartitionFilters). */
+  def storedBandScan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     band: Int, bucketKey: Long): DataFrame = {
+    ensureCommitted(dir)
+    spark.read.parquet(dir)
+      .filter(col("band") === band && col("bucket") === lit(bucketKey))
   }
 }

@@ -32,32 +32,48 @@ class AnnSpec extends AnyFunSpec {
     assert(banded > 0.0)
   }
 
-  it("bucketed layout: partition-pruned probe equals band-0 scan results") {
+  it("per-band bucketed layout: every band's probe is partition-pruned " +
+     "and the stored probe equals the scan-side banded answer") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ann-bucketed-").toString
     Similarity.writeBucketed(emb, "vec_id", "embedding", dir)
-    // 256 possible band keys → bucket=K directories, one file each
-    val dirs = Files.list(Paths.get(dir)).filter(p =>
-      p.getFileName.toString.startsWith("bucket=")).count()
-    assert(dirs > 1 && dirs <= 256)
 
+    // one replica per band: band=0..3 dirs, each with >1 bucket=K subdir
+    val bandDirs = Files.list(Paths.get(dir)).filter(p =>
+      p.getFileName.toString.startsWith("band=")).count()
+    assert(bandDirs == Similarity.BandCount.toLong)
+    val keys = Similarity.probeBandKeys(spark, probe)
+
+    // EVERY band's probe scan prunes on its (band, bucket) partition dirs
+    (0 until Similarity.BandCount).foreach { b =>
+      val scan = Similarity.storedBandScan(spark, dir, b, keys(b))
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("band") &&
+        plan.contains("bucket"), s"band $b plan:\n${plan.take(2000)}")
+      // the pruned scan returns exactly that band-key's vectors
+      val viaScan = emb.filter(
+        Similarity.bandKeyCol(org.apache.spark.sql.functions.col("embedding"), b)
+          === keys(b)).count()
+      assert(scan.count() == viaScan)
+    }
+
+    // the multi-band stored probe itself prunes (OR of partition-col
+    // point predicates) and matches the unstored banded probe exactly
     val stored = Similarity.lshTopKStored(spark, dir, "vec_id", "embedding",
       probe, 0L, 10)
-    // pruning is visible in the plan: the partition filter on bucket
     val plan = stored.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+    assert(plan.contains("PartitionFilters") && plan.contains("band"),
       plan.take(2000))
+    val scanSide = Similarity
+      .lshTopKBanded(emb, "vec_id", "embedding", probe, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(stored.select("vec_id").as[Long].collect().toSeq == scanSide)
+  }
 
-    // same answer as filtering band 0 over the raw table
-    val expected = {
-      val b0 = Similarity.bandKeyCol(org.apache.spark.sql.functions.col("embedding"), 0)
-      val pk = spark.range(1).select(
-        Similarity.bandKeyCol(org.apache.spark.sql.functions.lit(probe), 0).as("b"))
-        .collect()(0).getLong(0)
-      Similarity.cosineTopK(
-        emb.filter(b0 === pk), "vec_id", "embedding", probe, 0L, 10)
-        .select("vec_id").as[Long].collect().toSeq
+  it("stored probe refuses an uncommitted layout dir") {
+    val dir = Files.createTempDirectory("ann-uncommitted-").toString
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKStored(spark, dir, "vec_id", "embedding", probe, 0L, 10)
     }
-    assert(stored.select("vec_id").as[Long].collect().toSeq == expected)
   }
 }
