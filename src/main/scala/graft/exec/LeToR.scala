@@ -72,7 +72,14 @@ object LeToR {
     val n = index.stats.numDocs
     val terms = tt.keys.toSeq.sorted // fixed fold order (see scaladoc)
 
-    val cand = broadcast(candidates.select($"docid").distinct()).cache()
+    // Per-query candidates are ≤100 ids by contract (the reference pipes
+    // the same list through svm_rank files) — collect them into a
+    // LocalRelation: every join against it broadcast-plans from local
+    // data with no cache to leak and no hint to lose (round-2's
+    // `broadcast(df).cache()` dropped the hint → HintErrorLogger noise).
+    val candIds = candidates.select($"docid").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cand = broadcast(candIds.toDF("docid"))
 
     // per-field per-term global stats (df, ctf) — broadcast-small
     val stats = index.termStats

@@ -89,17 +89,25 @@ object LeToRRun {
 
     // ---------------------------------------------------------- train
     val trainQueries = ParamFile.loadQueries(params("letor:trainingQueryFile"))
+    require(trainQueries.nonEmpty,
+      s"letor:trainingQueryFile ${params("letor:trainingQueryFile")} " +
+        "contains no 'id:querytext' lines — letor needs at least one " +
+        "training query")
     val qrels = loadQrels(params("letor:trainingQrelsFile"))
     val trainVecFile = params("letor:trainingFeatureVectorsFile")
     new java.io.File(trainVecFile).delete()
     val trainNorm = trainQueries.map { case (qid, q) =>
       val rels = qrels.collect { case (id, e, r) if id == qid => (e, r) }
+      if (rels.isEmpty)
+        System.err.println(s"[letor] WARNING: training query $qid has no " +
+          "qrels lines — it contributes nothing to the ranker")
       val norm = normalizedFeatures(qid, q, rels).cache()
       appendLines(trainVecFile, svmLines(norm))
       norm
     }
     val w = LeToR.trainPairwise(trainNorm.reduce(_ unionByName _),
       disabled = disabled)
+    trainNorm.foreach(_.unpersist(false)) // query-scoped: done training
     params.get("letor:svmRankModelFile").foreach { f =>
       new java.io.File(f).delete()
       appendLines(f, w.map(_.toString).toSeq)
@@ -123,6 +131,7 @@ object LeToRRun {
           .orderBy("ord")
           .select("extid", "score", "ord").as[(String, Double, Int)]
           .collect().toSeq
+        norm.unpersist(false) // query-scoped: both actions done
         scoresFile.foreach(f => appendLines(f, scored.map(_._2.toString)))
         val reranked = scored.sortBy { case (_, s, ord) => (-s, ord) }
           .zipWithIndex

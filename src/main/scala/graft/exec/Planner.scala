@@ -152,9 +152,16 @@ final class Planner(index: Index, model: RetrievalModel) {
   }
 
   /** Composite lists need result-level df/ctf for scoring — cache the
-    * (small) intermediate and aggregate once, only if #SCORE asks. */
+    * (small) intermediate and aggregate once, only if #SCORE asks. The
+    * cache is QUERY-SCOPED: [[plan]] releases it once planning is done
+    * (stats, the only in-plan reuse, are forced at plan time), so a
+    * long-lived serving process doesn't accrete executor storage with
+    * every NEAR/WINDOW/SYN query. */
+  private val scratchCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+
   private def withLazyStats(df0: DataFrame, field: String): IlRes = {
     val df = df0.cache()
+    scratchCaches += df
     lazy val agg: (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum($"tf"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -388,9 +395,19 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   // ------------------------------------------------------------- top level
 
-  /** Plan a full query AST to a (docid, score) DataFrame. */
+  /** Plan a full query AST to a (docid, score) DataFrame.
+    *
+    * Scratch caches created during planning (composite-Il intermediates)
+    * are released here: planScore forces df/ctf eagerly, so by the time
+    * planSl returns the stats action has already consumed them, and the
+    * caller's final action recomputes the small composite from lineage
+    * instead of pinning executor storage for the life of the process —
+    * bounded recompute beats an unbounded cache in a serving loop. */
   def plan(q: Qry): DataFrame = {
     leafStats = collectLeafStats(q)
-    planSl(Qry.asSl(q)).scores
+    val scores = planSl(Qry.asSl(q)).scores
+    scratchCaches.foreach(_.unpersist(blocking = false))
+    scratchCaches.clear()
+    scores
   }
 }
