@@ -63,14 +63,16 @@ object IndexStore {
     // per-file open/commit overhead dominates the whole build (measured
     // 22s for an otherwise-instant write). The sortWithinPartitions key
     // leads with `segment` so the planned-write sorter sees its required
-    // partition-column ordering already satisfied and the (term, docid)
-    // file order survives.
+    // partition-column ordering already satisfied and the (term, field,
+    // docid) file order survives — that order gives query scans term
+    // row-group pruning AND lets the block build stream off this layout
+    // with no shuffle or sort (PostingBlocks.fromSortedPostings).
     writeTable("postings") {
       index.postings
         .withColumn("segment",
           shiftright(col("docid"), IndexBuilder.BucketShift))
         .repartition(index.buckets, col("segment"))
-        .sortWithinPartitions("segment", "term", "docid")
+        .sortWithinPartitions("segment", "term", "field", "docid")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("segment").parquet(s"$dir/postings")
     }
@@ -88,33 +90,40 @@ object IndexStore {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // one job group over all derived writes → a failing sibling can
+    // cancel the rest (setJobGroup is thread-local: set in each future)
+    val jobGroup = s"graft-index-save-$t0"
+    def grouped(body: => Unit): Unit = {
+      spark.sparkContext.setJobGroup(jobGroup,
+        s"index snapshot save $dir", interruptOnCancel = true)
+      body
+    }
     val derived = Seq(
-      Future(writeTable("doclen") {
+      Future(grouped(writeTable("doclen") {
         IndexBuilder.doclenOf(postingsOnDisk)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-      }),
-      Future(writeTable("termstats") {
+      })),
+      Future(grouped(writeTable("termstats") {
         IndexBuilder.termStatsOf(postingsOnDisk)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-      }),
+      })),
       // the compressed serving form (north rule: delta-gap + varbyte
-      // blocks with block-max metadata), partitioned like the postings
-      Future(writeTable("postings_blocks") {
-        PostingBlocks.fromPostings(spark,
-            postingsOnDisk
-              .select("term", "field", "docid", "tf", "positions", "len"),
-            spark.emptyDataFrame /* len is inline */)
-          .repartition(index.buckets, col("segment"))
-          .sortWithinPartitions("segment", "term", "blockId")
+      // blocks with block-max metadata), partitioned like the postings.
+      // Streamed straight off the persisted sorted layout — no shuffle,
+      // no sort, O(blockSize) memory per task; each scan partition holds
+      // whole segments, so the dynamic partitionBy still writes one file
+      // per segment dir.
+      Future(grouped(writeTable("postings_blocks") {
+        PostingBlocks.fromSortedPostings(spark, s"$dir/postings")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("segment").parquet(s"$dir/postings_blocks")
-      }),
-      Future(writeTable("docs") {
+      })),
+      Future(grouped(writeTable("docs") {
         index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      }),
+      })),
       // lineage + metrics manifest (north rule): per-segment row counts,
       // term counts, build wall-clock.
-      Future(if (!Files.exists(marker(dir, "manifest"))) {
+      Future(grouped(if (!Files.exists(marker(dir, "manifest"))) {
         val buildMillis = System.currentTimeMillis() - t0
         postingsOnDisk
           .groupBy("segment")
@@ -125,8 +134,21 @@ object IndexStore {
           .withColumn("snapshotId", lit(t0))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
         Files.createFile(marker(dir, "manifest"))
-      }))
+      })))
+    // On any table failure: cancel the sibling jobs (they share the job
+    // group) and drain the remaining futures before rethrowing, so the
+    // snapshot dir is quiescent when save() propagates the error —
+    // otherwise siblings keep writing into it after the caller has moved
+    // on (round-2 ADVICE).
     try Await.result(Future.sequence(derived), Duration.Inf)
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        derived.foreach(f =>
+          try Await.result(f, Duration.Inf)
+          catch { case _: Throwable => () })
+        throw e
+    }
     finally pool.shutdown()
 
     // global stats from the persisted tables (no corpus re-read)

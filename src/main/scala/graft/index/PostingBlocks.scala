@@ -39,31 +39,21 @@ object PostingBlocks {
     * postings of a hot term ("the", "if", license headers) land on
     * `#segments` different reducers instead of one.
     *
-    * Shape: relational `groupBy.agg(collect_list)` (Tungsten hash
-    * aggregation with map-side partials, whole-stage codegen up to the
-    * encode UDF) — measurably faster than the typed
-    * `groupByKey.flatMapGroups` equivalent, which deserializes every
-    * posting into Scala objects before grouping. The doclen side
-    * broadcast-joins when small (AQE decides from stats).
+    * Shape: hash repartition on the group key + SPILLABLE sort within
+    * partitions + a streaming per-partition encoder whose working set is
+    * ONE block (≤ blockSize postings), emitted when the block fills or
+    * the (term, field, segment) key changes. Round 2 used
+    * `groupBy.agg(collect_list)`, which holds every group's full posting
+    * list in the aggregation hash map — at high task concurrency in a
+    * bounded heap (the 1.2M-doc 8-core probe) those collect_list buffers
+    * collapsed scaling to 0.54; the sort spills to disk instead of
+    * ballooning, so per-task memory is O(blockSize) regardless of corpus
+    * size or task count — the property a 1000-executor build needs.
     */
   def fromPostings(spark: SparkSession, postings: DataFrame,
                    doclen: DataFrame,
                    blockSize: Int = DefaultBlockSize): Dataset[PostingBlock] = {
     import spark.implicits._
-
-    val encodeUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
-      // one (term, field, segment) group: ≤ docs-per-bucket postings
-      val sorted = rows.sortBy(_.getLong(0))
-      sorted.grouped(blockSize).zipWithIndex.map { case (chunk, blockId) =>
-        val ps = chunk.map(r =>
-          Posting(r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
-        val lens = chunk.map(_.getLong(3))
-        val first = ps.head.docid
-        (blockId, first, ps.last.docid, ps.length, ps.map(_.tf.toLong).sum,
-          ps.map(_.tf).max, lens.min, lens.max,
-          PostingCodec.encode(ps, first), PostingCodec.encodeLens(lens))
-      }.toSeq
-    })
 
     // doc length comes inline with the posting rows when the builder
     // provided it (the scale path — no join); otherwise join doclen
@@ -78,17 +68,81 @@ object PostingBlocks {
     withLen
       .select($"term", $"field",
         shiftright($"docid", IndexBuilder.BucketShift).as("segment"),
-        struct($"docid", $"tf", $"positions", $"len").as("p"))
-      .groupBy($"term", $"field", $"segment")
-      .agg(collect_list($"p").as("ps"))
-      .select($"term", $"field", $"segment", explode(encodeUdf($"ps")).as("b"))
-      .select($"term", $"field", $"segment",
-        $"b._1".as("blockId"), $"b._2".as("firstDocid"),
-        $"b._3".as("lastDocid"), $"b._4".as("df"), $"b._5".as("ctf"),
-        $"b._6".as("maxTf"), $"b._7".as("minLen"), $"b._8".as("maxLen"),
-        $"b._9".as("block"), $"b._10".as("lens"))
-      .as[PostingBlock]
+        $"docid", $"tf", $"positions", $"len")
+      .repartition($"term", $"field", $"segment")
+      .sortWithinPartitions($"term", $"field", $"segment", $"docid")
+      .as[(String, String, Long, Long, Int, Array[Int], Long)]
+      .mapPartitions(rows => streamEncode(rows, blockSize))
   }
+
+  /** Block build over the PERSISTED postings layout — zero shuffle, zero
+    * sort: [[IndexStore.save]] writes postings one-file-per-segment,
+    * sorted by (term, field, docid) inside each file, so every scan
+    * partition is a concatenation of whole, already-sorted segment runs
+    * and the streaming encoder can consume it directly. The read uses a
+    * cloned session with file-splitting disabled (maxPartitionBytes
+    * ceiling) so a segment file is never split mid-run — segments are
+    * the parallel unit, exactly as the snapshot layout intends; size
+    * `buckets` so one segment's postings stay in the low GBs at target
+    * scale. This is the snapshot path; [[fromPostings]] (hash shuffle +
+    * spillable sort) serves unsorted in-memory postings. */
+  def fromSortedPostings(spark: SparkSession, postingsDir: String,
+                         blockSize: Int = DefaultBlockSize)
+      : Dataset[PostingBlock] = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", s"${64L << 30}")
+    s2.conf.set("spark.sql.files.openCostInBytes", s"${1L << 30}")
+    import s2.implicits._
+    s2.read.parquet(postingsDir)
+      .select($"term", $"field", $"segment".cast("long").as("segment"),
+        $"docid", $"tf", $"positions", $"len")
+      .as[(String, String, Long, Long, Int, Array[Int], Long)]
+      .mapPartitions(rows => streamEncode(rows, blockSize))
+  }
+
+  /** Streaming encoder over a (term, field, segment, docid)-sorted row
+    * iterator: buffers at most `blockSize` postings, emits a block on
+    * fill or key change. Pure iterator-to-iterator — Spark pulls blocks
+    * as the output parquet writer wants them. */
+  private def streamEncode(
+      rows: Iterator[(String, String, Long, Long, Int, Array[Int], Long)],
+      blockSize: Int): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val in = rows.buffered
+      private var blockId = 0
+
+      def hasNext: Boolean = in.hasNext
+
+      def next(): PostingBlock = {
+        val (term, field, segment, _, _, _, _) = in.head
+        val ps = new scala.collection.mutable.ArrayBuffer[Posting](16)
+        val lens = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var maxTf = 0
+        var minLen = Long.MaxValue
+        var maxLen = Long.MinValue
+        var ctf = 0L
+        while (ps.length < blockSize && in.hasNext && {
+          val h = in.head; h._1 == term && h._2 == field && h._3 == segment
+        }) {
+          val (_, _, _, docid, tf, positions, len) = in.next()
+          ps += Posting(docid, tf, positions)
+          lens += len
+          ctf += tf
+          if (tf > maxTf) maxTf = tf
+          if (len < minLen) minLen = len
+          if (len > maxLen) maxLen = len
+        }
+        val id = blockId
+        val moreOfKey = in.hasNext && {
+          val h = in.head; h._1 == term && h._2 == field && h._3 == segment
+        }
+        blockId = if (moreOfKey) blockId + 1 else 0
+        PostingBlock(term, field, segment, id,
+          ps.head.docid, ps.last.docid, ps.length, ctf, maxTf, minLen,
+          maxLen, PostingCodec.encode(ps.toSeq, ps.head.docid),
+          PostingCodec.encodeLens(lens.toSeq))
+      }
+    }
 
   /** Decode back to the row form (term, field, docid, tf, positions) —
     * inverse of [[fromPostings]] up to row order (property-tested). */

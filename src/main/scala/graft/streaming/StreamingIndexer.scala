@@ -65,12 +65,16 @@ object StreamingIndexer {
     IndexBuilder.termStatsOf(postingsOnDisk)
       .write.mode("overwrite").parquet(s"$segDir/termstats")
     rebase(idx.docs).write.mode("overwrite").parquet(s"$segDir/docs")
-    IndexStore.writeStats(
-      IndexBuilder.statsOf(spark.read.parquet(s"$segDir/docs"),
-        spark.read.parquet(s"$segDir/doclen")),
-      s"$segDir/stats.json", cfg.buckets, cfg.fields)
+    // stats from the PERSISTED tables, bound once — reading them through
+    // idx.stats here would force the lazy statsOf over the in-memory
+    // lineage and re-run the tokenize pass this staging exists to avoid
+    val segStats = IndexBuilder.statsOf(
+      spark.read.parquet(s"$segDir/docs"),
+      spark.read.parquet(s"$segDir/doclen"))
+    IndexStore.writeStats(segStats, s"$segDir/stats.json",
+      cfg.buckets, cfg.fields)
     // manifest row: per-segment lineage + build metrics (north rule)
-    val m = s"""{"segment":$batchId,"numDocs":${idx.stats.numDocs},""" +
+    val m = s"""{"segment":$batchId,"numDocs":${segStats.numDocs},""" +
       s""""committedAtMs":${System.currentTimeMillis()}}"""
     val tmp = Paths.get(segDir, "manifest.json.tmp")
     Files.writeString(tmp, m)
