@@ -60,6 +60,10 @@ object EntryQueries {
         .build(spark, corpus(spark, sfDir),
           IndexConfig(cfg, fields =
             Seq("body", "title", "url", "inlink", "keywords"))).cacheAll()
+      // the compressed block table is a build product (the persisted
+      // serving form in IndexStore snapshots) — cache it like the other
+      // index tables so BMW queries measure serving, not re-encoding
+      idx.blocks.cache()
       Ctx(idx, new SearchEngine(idx, cfg))
     })
 
@@ -170,6 +174,21 @@ object EntryQueries {
         .select(col("doc_id"), col("st.stems").as("term"),
           col("st.stemFreq").cast("long").as("tf"))
         .orderBy("doc_id", "term")
+    }),
+
+    // positions[] parity (reference `TermVector.java:25,62-89`): for
+    // every word position p, the 1-based index into the doc's sorted
+    // stems array (0 = stopword/gap; none under the code profile)
+    "q_fwdindex_pos" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.index.fwdIndex.filter(col("field") === "body")
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("stems"), posexplode(col("positions")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").cast("int").as("stem_idx"),
+          when(col("col") === 0, lit(""))
+            .otherwise(element_at(col("stems"), col("col"))).as("term"))
+        .orderBy("doc_id", "pos")
     }),
 
     // --- streaming ingestion: two micro-batch segments over the same

@@ -620,6 +620,16 @@ object OracleGen {
         "\nSELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"),
       "q_fwdindex" -> (withToks() +
         "\nSELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term ORDER BY doc_id, term"),
+      // positions[] (TermVector.java:62-89): stem_idx = 1-based rank of
+      // the term among the doc's sorted distinct stems; code profile has
+      // no stopwords, so every raw position is filled
+      "q_fwdindex_pos" -> (withToks(
+        "sidx AS (SELECT doc_id, term, CAST(dense_rank() OVER " +
+        "(PARTITION BY doc_id ORDER BY term) AS INT) AS stem_idx " +
+        "FROM (SELECT DISTINCT doc_id, term FROM toks))") +
+        "\nSELECT t.doc_id, CAST(t.pos1 - 1 AS INT) AS pos, s.stem_idx, " +
+        "t.term FROM toks t JOIN sidx s USING (doc_id, term) " +
+        "ORDER BY t.doc_id, pos"),
       "q_streaming_doclen" ->
         (withToks() + "\nSELECT doc_id, len FROM dl ORDER BY doc_id"),
       "q_bm25_topk" -> bm25TopK(Seq("spark", "hash", "join", "merge")),

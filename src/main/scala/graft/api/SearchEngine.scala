@@ -33,6 +33,33 @@ final class SearchEngine(val index: Index,
     index.docs.filter(col("extid") === extid).select("docid")
       .collect().headOption.map(_.getLong(0))
 
+  /** Positional snippet from the forward index — the `TermVector`
+    * positions consumer (`QryEval/src/TermVector.java:25,62-89` carries a
+    * per-word-position stem index exactly for uses like this): the
+    * `window` stems around the FIRST occurrence of any query term, with
+    * "…" at stopword/gap positions. One pushed-down (docid, field) point
+    * read; None when the doc has no field vector or no query term hits. */
+  def snippet(docid: Long, field: String, queryText: String,
+              window: Int = 8): Option[String] = {
+    val terms = graft.analysis.Analyzer.tokenize(queryText, analyzer)
+      .map(_.term).toSet
+    index.fwdIndex
+      .filter(col("docid") === docid && col("field") === field)
+      .select("stems", "positions").collect().headOption
+      .flatMap { r =>
+        val stems = r.getSeq[String](0)
+        val pos = r.getSeq[Int](1)
+        val hit = pos.indexWhere(i => i > 0 && terms.contains(stems(i - 1)))
+        if (hit < 0) None
+        else {
+          val lo = math.max(0, hit - window / 2)
+          val hi = math.min(pos.length, lo + window)
+          Some(pos.slice(lo, hi)
+            .map(i => if (i == 0) "…" else stems(i - 1)).mkString(" "))
+        }
+      }
+  }
+
   /** Pseudo-relevance-feedback expansion (SURVEY §2.6; orchestration
     * `QryEval/src/QryEval.java:154-185`): evaluate the original query,
     * learn a `#WAND` term query from the top `fbDocs` docs' forward-index

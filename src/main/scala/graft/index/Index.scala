@@ -52,9 +52,15 @@ final class Index(
   lazy val stats: IndexStats = statsThunk()
 
   /** Known fields — queries against any other field are a syntax error
-    * (the round-1 behavior of silently matching nothing hid typos). */
+    * (the round-1 behavior of silently matching nothing hid typos).
+    * Legacy snapshots (no indexedFields in stats.json) fall back to the
+    * stats-derived fields UNION the default field set: stats only list
+    * fields with ≥1 doclen row, so a field that was indexed but empty
+    * corpus-wide (e.g. keywords when lang is blank everywhere) must not
+    * turn a legitimate query into a syntax error. */
   lazy val indexedFields: Set[String] =
-    indexedFieldsOpt.map(_.toSet).getOrElse(stats.fields.keySet)
+    indexedFieldsOpt.map(_.toSet)
+      .getOrElse(stats.fields.keySet ++ Index.DefaultFields)
 
   def fieldStats(field: String): FieldStats =
     stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))
@@ -67,19 +73,42 @@ final class Index(
       PostingBlocks.fromPostings(spark, postings, doclen))
 
   /** Forward index (doc vector), built on demand for PRF / LeToR —
-    * reference `TermVector` (`QryEval/src/TermVector.java:19-89`). */
+    * reference `TermVector` (`QryEval/src/TermVector.java:19-89`):
+    * `stems` sorted ascending (Lucene TermsEnum order), `stemFreq`
+    * aligned, and `positions(p)` = the 1-BASED index into `stems` of the
+    * word at position p — 0 marks a stopword/gap position, and the array
+    * ends at the LAST indexed position (`TermVector.java:58-88`: length
+    * = max position + 1, slots default 0). Pure expressions: position →
+    * stem pairs flattened into a map, then a sequence scan — no UDF. */
   lazy val fwdIndex: DataFrame = {
     import org.apache.spark.sql.functions._
+    val pairs = flatten(transform(col("stemsTf"), (s, i) =>
+      transform(s.getField("positions"),
+        p => struct(p.as("pos"), (i + lit(1)).cast("int").as("stem")))))
     postings
       .groupBy("docid", "field")
-      .agg(sort_array(collect_list(struct(col("term"), col("tf"))))
-        .as("stemsTf"))
+      .agg(sort_array(collect_list(
+        struct(col("term"), col("tf"), col("positions")))).as("stemsTf"))
+      .withColumn("pp", pairs)
+      .withColumn("pmap", map_from_entries(col("pp")))
       .select(col("docid"), col("field"),
-        col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"))
+        col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"),
+        transform(
+          sequence(lit(0),
+            array_max(transform(col("pp"), x => x.getField("pos")))),
+          p => coalesce(element_at(col("pmap"), p), lit(0)))
+          .as("positions"))
   }
 
   def cacheAll(): Index = {
     docs.cache(); postings.cache(); doclen.cache(); termStats.cache()
     this
   }
+}
+
+object Index {
+  /** The reference's full field set (`QryEval/src/QryEval.java:467`) —
+    * the legacy-snapshot fallback for [[Index.indexedFields]]. */
+  val DefaultFields: Set[String] =
+    Set("body", "title", "url", "inlink", "keywords")
 }
