@@ -53,6 +53,21 @@ object LeToRRun {
     finally src.close()
   }
 
+  /** The reference's external-process call (`LearnToRank.java:195-226`):
+    * consume stdout/stderr (an unread pipe stalls the child), require
+    * exit 0. Used for the vendored svm_rank binaries when
+    * `letor:svmRankLearnPath`/`letor:svmRankClassifyPath` are set. */
+  def callCmd(args: Seq[String]): Unit = {
+    val proc = new ProcessBuilder(args: _*)
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    try Iterator.continually(out.readLine()).takeWhile(_ != null)
+      .foreach(System.out.println)
+    finally out.close()
+    require(proc.waitFor() == 0, s"SVM Rank crashed. (${args.head})")
+  }
+
   def run(engine: SearchEngine, params: Map[String, String],
           cfg: AnalyzerConfig): Unit = {
     val spark = engine.index.spark
@@ -105,38 +120,100 @@ object LeToRRun {
       appendLines(trainVecFile, svmLines(norm))
       norm
     }
-    val w = LeToR.trainPairwise(trainNorm.reduce(_ unionByName _),
-      disabled = disabled)
+    // svm_rank binary integration (`LearnToRank.java:100-103,163-165`):
+    // when letor:svmRankLearnPath / letor:svmRankClassifyPath point at
+    // the vendored executables, training and scoring shell out exactly
+    // like the reference (svm-light files in, model/score files out);
+    // otherwise the documented in-repo pairwise-logistic ranker runs on
+    // the same files.
+    val learnPath = params.get("letor:svmRankLearnPath")
+    val classifyPath = params.get("letor:svmRankClassifyPath")
+    require(learnPath.isDefined == classifyPath.isDefined,
+      "letor:svmRankLearnPath and letor:svmRankClassifyPath must be set " +
+        "together (the external ranker needs both phases)")
+    val useBinary = learnPath.isDefined
+    val modelFile = params.get("letor:svmRankModelFile")
+
+    val w: Array[Double] =
+      if (useBinary) {
+        val mf = modelFile.getOrElse(sys.error(
+          "letor:svmRankModelFile is required with the svm_rank binaries"))
+        new java.io.File(mf).delete()
+        callCmd(Seq(learnPath.get, "-c",
+          params.getOrElse("letor:svmRankParamC", "0.001"), trainVecFile, mf))
+        null // scoring goes through svm_rank_classify, not a weight vector
+      } else {
+        val w0 = LeToR.trainPairwise(trainNorm.reduce(_ unionByName _),
+          disabled = disabled)
+        modelFile.foreach { f =>
+          new java.io.File(f).delete()
+          appendLines(f, w0.map(_.toString).toSeq)
+        }
+        w0
+      }
     trainNorm.foreach(_.unpersist(false)) // query-scoped: done training
-    params.get("letor:svmRankModelFile").foreach { f =>
-      new java.io.File(f).delete()
-      appendLines(f, w.map(_.toString).toSeq)
-    }
 
     // ----------------------------------------------------------- test
+    // Phase 1 writes every query's feature vectors (the reference's
+    // testingFeatureVectorsFile), THEN one scoring pass (external
+    // classify over the whole file, or the in-repo model per query),
+    // then the rerank + TREC write per query — the reference's E3 order.
     val testVecFile = params.get("letor:testingFeatureVectorsFile")
     val scoresFile = params.get("letor:testingDocumentScores")
+    require(!useBinary || testVecFile.isDefined,
+      "letor:testingFeatureVectorsFile is required with the svm_rank binaries")
     val out = params("trecEvalOutputPath")
     Seq(testVecFile, scoresFile, Some(out)).flatten
       .foreach(f => new java.io.File(f).delete())
-    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q) =>
-      val top = engine.search(q, bm25, 100)
-        .orderBy("rank").select("extid").as[String].collect().toSeq
-      if (top.isEmpty) TrecWriter.append(out, qid, Seq.empty)
+
+    val perQuery = ParamFile.loadQueries(params("queryFilePath"))
+      .map { case (qid, q) =>
+        val top = engine.search(q, bm25, 100)
+          .orderBy("rank").select("extid").as[String].collect().toSeq
+        val norm =
+          if (top.isEmpty) None
+          else {
+            val n = normalizedFeatures(qid, q, top.map(e => (e, 0))).cache()
+            testVecFile.foreach(f => appendLines(f, svmLines(n)))
+            Some(n)
+          }
+        (qid, top, norm)
+      }
+
+    val binaryScores: Iterator[Double] =
+      if (!useBinary) Iterator.empty
       else {
-        val norm = normalizedFeatures(qid, q, top.map(e => (e, 0))).cache()
-        testVecFile.foreach(f => appendLines(f, svmLines(norm)))
-        val scored = LeToR.score(norm, w)
-          .join(norm.select("docid", "ord", "extid"), "docid")
-          .orderBy("ord")
-          .select("extid", "score", "ord").as[(String, Double, Int)]
-          .collect().toSeq
-        norm.unpersist(false) // query-scoped: both actions done
-        scoresFile.foreach(f => appendLines(f, scored.map(_._2.toString)))
-        val reranked = scored.sortBy { case (_, s, ord) => (-s, ord) }
-          .zipWithIndex
-          .map { case ((e, s, _), i) => (e, i + 1, s) }
-        TrecWriter.append(out, qid, reranked)
+        val sf = scoresFile.getOrElse(sys.error(
+          "letor:testingDocumentScores is required with the svm_rank binaries"))
+        callCmd(Seq(classifyPath.get, testVecFile.get, modelFile.get, sf))
+        val src = scala.io.Source.fromFile(sf)
+        try src.getLines().map(_.trim.toDouble).toArray.iterator
+        finally src.close()
+      }
+
+    perQuery.foreach { case (qid, top, normOpt) =>
+      normOpt match {
+        case None => TrecWriter.append(out, qid, Seq.empty)
+        case Some(norm) =>
+          val scored: Seq[(String, Double, Int)] =
+            if (useBinary)
+              top.zipWithIndex.map { case (e, i) =>
+                (e, binaryScores.next(), i)
+              }
+            else {
+              val s = LeToR.score(norm, w)
+                .join(norm.select("docid", "ord", "extid"), "docid")
+                .orderBy("ord")
+                .select("extid", "score", "ord").as[(String, Double, Int)]
+                .collect().toSeq
+              scoresFile.foreach(f => appendLines(f, s.map(_._2.toString)))
+              s
+            }
+          norm.unpersist(false) // query-scoped: all actions done
+          val reranked = scored.sortBy { case (_, s, ord) => (-s, ord) }
+            .zipWithIndex
+            .map { case ((e, s, _), i) => (e, i + 1, s) }
+          TrecWriter.append(out, qid, reranked)
       }
     }
   }

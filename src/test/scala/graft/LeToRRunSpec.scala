@@ -130,6 +130,63 @@ class LeToRRunSpec extends AnyFunSpec {
       w.get(6).toDouble == 0.0)
   }
 
+  it("svm_rank binaries drive train+classify when the exec paths are set") {
+    // The reference shells out to vendored svm_rank executables
+    // (`QryEval/src/LearnToRank.java:100-103,163-165`); when a compatible
+    // binary is available on this machine the exec path runs for real,
+    // otherwise the test is canceled (the in-repo ranker path is covered
+    // by the specs above).
+    val learn = Paths.get(
+      "/root/reference/QryEval/svm_rank_linux64/svm_rank_learn")
+    val classify = Paths.get(
+      "/root/reference/QryEval/svm_rank_linux64/svm_rank_classify")
+    assume(Files.isExecutable(learn) && Files.isExecutable(classify),
+      "vendored svm_rank binaries not present/executable here")
+
+    import spark.implicits._
+    val dir = Files.createTempDirectory("letor-svm-").toString
+    Files.createDirectories(Paths.get(dir))
+    val trainQs = Seq(81 -> "open inverted index", 82 -> "query evaluation")
+    val qrelsLines = trainQs.flatMap { case (qid, q) =>
+      val top = engine.search(q, BM25(1.2f, 0.75f, 0f), 12)
+        .orderBy("rank").select("extid").as[String].collect()
+      top.zipWithIndex.map { case (e, i) =>
+        s"$qid 0 $e ${if (i < 6) 1 else 0}"
+      }
+    }
+    val params = Map(
+      "retrievalAlgorithm" -> "letor",
+      "BM25:k_1" -> "1.2", "BM25:b" -> "0.75", "BM25:k_3" -> "0",
+      "Indri:mu" -> "2500", "Indri:lambda" -> "0.4",
+      "letor:svmRankLearnPath" -> learn.toString,
+      "letor:svmRankClassifyPath" -> classify.toString,
+      "letor:svmRankParamC" -> "0.001",
+      "letor:trainingQueryFile" -> write(s"$dir/train.q",
+        trainQs.map { case (id, q) => s"$id:$q" }.mkString("\n")),
+      "letor:trainingQrelsFile" -> write(s"$dir/train.qrels",
+        qrelsLines.mkString("\n")),
+      "letor:trainingFeatureVectorsFile" -> s"$dir/train.fv",
+      "letor:testingFeatureVectorsFile" -> s"$dir/test.fv",
+      "letor:svmRankModelFile" -> s"$dir/model.txt",
+      "letor:testingDocumentScores" -> s"$dir/test.scores",
+      "queryFilePath" -> write(s"$dir/test.q", "1:open inverted index"),
+      "trecEvalOutputPath" -> s"$dir/run.teIn")
+    LeToRRun.run(engine, params, cfg)
+
+    // svm_rank_learn wrote a real svm-light model (header, not 18 weights)
+    val model = Files.readAllLines(Paths.get(s"$dir/model.txt"))
+    assert(model.get(0).toLowerCase.contains("svm"))
+    // one classify score per test vector, TREC reranked by those scores
+    val scores = Files.readAllLines(Paths.get(s"$dir/test.scores"))
+    assert(scores.size == 100)
+    val run1 = Files.readAllLines(Paths.get(s"$dir/run.teIn"))
+    assert(run1.size == 100)
+    val trecScores = (0 until 100).map(i => run1.get(i).split("\t")(4).toDouble)
+    val sortedScores = (0 until 100).map(i => scores.get(i).toDouble)
+      .sorted.reverse
+    assert(trecScores == sortedScores)
+  }
+
   it("the rerank actually changes the order vs plain BM25 (model is used)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("letor-e2e3-").toString
