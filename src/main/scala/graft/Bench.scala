@@ -24,15 +24,19 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // index build + cache materialization, timed once; the shared
-    // MinHash signature table is an index-build product too (computed
-    // once, reused by the whole dedup family)
+    // Shared-artifact phases timed SEPARATELY (round-2 VERDICT item 4:
+    // one merged number let an index-build regression hide inside the
+    // signature materialization): `build` = 5-field index build + cache,
+    // `signatures` = the shared MinHash table, `annLayout` = the
+    // per-band bucketed ANN replicas.
     val buildSec = time {
       val c = EntryQueries.ctx(spark, sfDir)
       c.index.postings.count(); c.index.doclen.count()
       c.index.termStats.count(); c.index.docs.count()
-      EntryQueries.minhashSig(spark, sfDir).count()
+      c.index.blocks.count() // the compressed serving form
     }
+    val sigSec = time { EntryQueries.minhashSig(spark, sfDir).count() }
+    val annSec = time { EntryQueries.annBucketedDir(spark, sfDir) }
 
     // A query that throws is recorded as -1 (sentinel), excluded from the
     // percentile/total stats, and listed in "failed" — a broken query must
@@ -55,6 +59,7 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","build":$buildSec,""" +
+      s""""signatures":$sigSec,"annLayout":$annSec,""" +
       s""""p50":${pct(0.5)},"p99":${pct(0.99)},"failed":$fj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
