@@ -61,6 +61,6 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","build":$buildSec,""" +
       s""""signatures":$sigSec,"annLayout":$annSec,""" +
       s""""p50":${pct(0.5)},"p99":${pct(0.99)},"failed":$fj,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    graft.util.SparkQuiesce.stop(spark)
   }
 }

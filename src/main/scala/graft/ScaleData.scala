@@ -56,6 +56,6 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"""{"scaled":"$src -> $dst","copies":$copies}""")
-    spark.stop()
+    graft.util.SparkQuiesce.stop(spark)
   }
 }

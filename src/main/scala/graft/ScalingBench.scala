@@ -82,7 +82,7 @@ object ScalingBench {
         val spark = session(cores)
         buildOnce(spark, 500L) // JIT/classload warmup, discarded
         val times = (0 until reps).map(_ => buildOnce(spark, nDocs))
-        spark.stop()
+        graft.util.SparkQuiesce.stop(spark)
         val best = times.min
         println(s"""{"metric":"scaling-build","cores":$cores,""" +
           s""""nDocs":$nDocs,"reps":$reps,""" +
@@ -114,7 +114,7 @@ object ScalingBench {
         }
         runs(false) // warmup
         val lat = runs(true)
-        spark.stop()
+        graft.util.SparkQuiesce.stop(spark)
         val latJson = lat.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         println(s"""{"metric":"scaling-queries","cores":$cores,""" +

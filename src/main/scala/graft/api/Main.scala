@@ -77,7 +77,7 @@ object Main {
       val t0 = System.nanoTime()
       graft.exec.LeToRRun.run(engine, params, cfg)
       println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.stop()
+      graft.util.SparkQuiesce.stop(spark)
       return
     }
 
@@ -109,6 +109,6 @@ object Main {
     }
     // Reference prints total running time (`QryEval.java:229-230`).
     println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    spark.stop()
+    graft.util.SparkQuiesce.stop(spark)
   }
 }

@@ -153,15 +153,14 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   /** Composite lists need result-level df/ctf for scoring — cache the
     * (small) intermediate and aggregate once, only if #SCORE asks. The
-    * cache is QUERY-SCOPED: [[plan]] releases it once planning is done
-    * (stats, the only in-plan reuse, are forced at plan time), so a
-    * long-lived serving process doesn't accrete executor storage with
-    * every NEAR/WINDOW/SYN query. */
-  private val scratchCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-
+    * cache is QUERY-SCOPED but must survive until the CALLER's action has
+    * consumed it (the final plan references the composite several times;
+    * see [[graft.index.Index.releaseScratch]]), so it is registered on
+    * the long-lived Index and released when the next query plans on this
+    * thread. */
   private def withLazyStats(df0: DataFrame, field: String): IlRes = {
     val df = df0.cache()
-    scratchCaches += df
+    index.registerScratch(df)
     lazy val agg: (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum($"tf"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -397,17 +396,15 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   /** Plan a full query AST to a (docid, score) DataFrame.
     *
-    * Scratch caches created during planning (composite-Il intermediates)
-    * are released here: planScore forces df/ctf eagerly, so by the time
-    * planSl returns the stats action has already consumed them, and the
-    * caller's final action recomputes the small composite from lineage
-    * instead of pinning executor storage for the life of the process —
-    * bounded recompute beats an unbounded cache in a serving loop. */
+    * Releases the PREVIOUS query's scratch caches for this thread first
+    * (see [[graft.index.Index.releaseScratch]]): this query's own
+    * composite caches stay alive until the caller's action — the final
+    * score plan references each composite several times, and an early
+    * release was measured to recompute an SDM query 5.6× over — while a
+    * serving loop still pins at most one query's scratch per thread. */
   def plan(q: Qry): DataFrame = {
+    index.releaseScratch()
     leafStats = collectLeafStats(q)
-    val scores = planSl(Qry.asSl(q)).scores
-    scratchCaches.foreach(_.unpersist(blocking = false))
-    scratchCaches.clear()
-    scores
+    planSl(Qry.asSl(q)).scores
   }
 }

@@ -32,3 +32,22 @@ object Scratch {
 
   def deleteRecursively(p: String): Unit = deleteRecursively(Paths.get(p))
 }
+
+/** Graceful SparkContext shutdown. AQE cancels in-flight broadcast jobs
+  * when empty-relation propagation removes a join (e.g. a no-match query
+  * joining docids to the docs table); the killed tasks keep reporting
+  * status briefly, and calling `spark.stop()` under them shuts the
+  * TaskResultGetter pool mid-report — every late statusUpdate then logs
+  * `ERROR TaskSchedulerImpl: Exception in statusUpdate`. Harmless, but
+  * it buries real errors, so wait for the scheduler to go quiet first. */
+object SparkQuiesce {
+  def stop(spark: org.apache.spark.sql.SparkSession,
+           timeoutMs: Long = 10000L): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def busy() = tracker.getActiveJobIds().nonEmpty ||
+      tracker.getExecutorInfos.exists(_.numRunningTasks() > 0)
+    while (busy() && System.nanoTime() < deadline) Thread.sleep(50)
+    spark.stop()
+  }
+}

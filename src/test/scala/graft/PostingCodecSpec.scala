@@ -109,5 +109,34 @@ class PostingCodecSpec extends AnyFunSpec {
         .as[(String, String, Long, Long)].collect().toSet
       assert(fromBlocks == fromStats)
     }
+
+    it("fromSortedPostings ≡ fromPostings over a persisted snapshot") {
+      // The snapshot path (zero-shuffle stream off the sorted parquet
+      // layout) must produce the same logical block table as the
+      // shuffle+sort path — same keys, same blockId sequencing, same
+      // encoded bytes. blockSize=7 forces multi-block groups so the
+      // blockId reset-on-key-change logic is actually exercised.
+      import spark.implicits._
+      val idx = IndexBuilder.build(spark, CorpusGen.df(spark, 150),
+        IndexConfig(buckets = 4))
+      val dir = java.nio.file.Files
+        .createTempDirectory("codec-sorted-").toString
+      graft.index.IndexStore.save(idx, dir)
+
+      def key(b: graft.index.PostingBlock) =
+        (b.term, b.field, b.segment, b.blockId, b.firstDocid, b.lastDocid,
+          b.df, b.ctf, b.maxTf, b.minLen, b.maxLen,
+          b.block.toSeq, b.lens.toSeq)
+      val streamed = PostingBlocks
+        .fromSortedPostings(spark, s"$dir/postings", blockSize = 7)
+        .collect().map(key).toSet
+      val shuffled = PostingBlocks
+        .fromPostings(spark, idx.postings, idx.doclen, blockSize = 7)
+        .collect().map(key).toSet
+      assert(streamed == shuffled)
+      // multi-block groups exist, so blockId sequencing was exercised
+      assert(streamed.exists(_._4 > 0))
+      graft.util.Scratch.deleteRecursively(dir)
+    }
   }
 }
