@@ -311,6 +311,12 @@ object EntryQueries {
       val probe = Similarity.probeVector(e, "vec_id", "embedding", 0L)
       Similarity.lshTopK(e, "vec_id", "embedding", probe, 0L, 10)
     }),
+    // embedding-cosine near-dup: SRP band buckets propose, exact
+    // deterministic-fold cosine verifies — the embedding-space analog of
+    // q_jaccard_pairs (LSH proposes, exact verifies; never all-pairs)
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
+        0.25).orderBy("a_id", "b_id")),
     // 32-bit banded multi-probe SRP over the STORED per-band bucketed
     // layout — every band's candidates come from a partition-pruned
     // replica scan (the 100 TB serving path, not a per-probe full scan)

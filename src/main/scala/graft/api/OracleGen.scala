@@ -569,6 +569,22 @@ object OracleGen {
     s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
   }
 
+  /** Embedding-cosine near-dup (`Similarity.embeddingNearDup`): pairs
+    * sharing ≥1 SRP band bucket, kept when exact-fold cosine ≥ threshold. */
+  def embedNearDup(threshold: Double): String = {
+    val bands = 0 until Similarity.BandCount
+    val unpiv = bands.map(bnd =>
+      s"SELECT vec_id, $bnd AS band, b$bnd AS key FROM eb").mkString(" UNION ALL ")
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    s"eb AS (SELECT vec_id, ${bands.map(bnd => bandKeySql("v", bnd) + s" AS b$bnd").mkString(", ")} FROM e), " +
+    s"bands AS ($unpiv), " +
+    "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bands a " +
+    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)\n" +
+    s"SELECT a_id, b_id, sim FROM (SELECT a_id, b_id, ${cosSql("ea.v", "eb2.v")} AS sim " +
+    "FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb2 ON eb2.vec_id = b_id) " +
+    s"WHERE sim >= ${d(threshold)} ORDER BY a_id, b_id"
+  }
+
   def annLsh(k: Int): String =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
     "p AS (SELECT v AS pv FROM e WHERE vec_id = 0), " +
@@ -661,6 +677,7 @@ object OracleGen {
       "q_ann_cosine" -> annCosine(20),
       "q_ann_lsh" -> annLsh(10),
       "q_ann_banded" -> annBanded(10),
+      "q_embed_neardup" -> embedNearDup(0.25),
       "q_media_meta" -> mediaMeta
     )
   }

@@ -178,6 +178,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** (id, band, key) rows — each vector under its [[BandCount]] SRP band
+    * keys. The dataset-level analog of the per-probe band keys: docs
+    * sharing a (band, key) bucket are near-duplicate candidates. */
+  def srpBands(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array((0 until BandCount).map(b =>
+          struct(lit(b).as("band"), bandKeyCol(col(vecCol), b).as("key"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Embedding-cosine near-duplicate pairs, LSH-propose / exact-verify
+    * (the same shape as `Dedup.lshCandidates` + `jaccardVerify`, with SRP
+    * bands instead of minhash bands): candidates are pairs sharing ≥1 of
+    * the 4 SRP band buckets; exact deterministic-fold cosine then keeps
+    * pairs with sim ≥ threshold. The band-bucket self-join is the only
+    * wide shuffle and its keys are sign-hashes (uniform under random
+    * hyperplanes); verification re-reads vectors ONLY for candidate ids
+    * via a semi-join, so a 100 TB corpus never ships non-candidate
+    * vectors into the pair join. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val bands = srpBands(df, idCol, vecCol)
+    val l = bands.select(col("band"), col("key"), col("id").as("a_id"))
+    val r = bands.select(col("band"), col("key"), col("id").as("b_id"))
+    val cand = l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ids = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val vecs = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    cand
+      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("sim", cosineCol(col("a_v"), col("b_v")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
   /** Probe ONE band of the stored layout (plan-audit helper: the spec
     * asserts every band's probe scan shows PartitionFilters). */
   def storedBandScan(spark: org.apache.spark.sql.SparkSession, dir: String,

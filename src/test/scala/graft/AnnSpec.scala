@@ -70,6 +70,42 @@ class AnnSpec extends AnyFunSpec {
     assert(stored.select("vec_id").as[Long].collect().toSeq == scanSide)
   }
 
+  it("embedding near-dup = SRP bands propose ∩ exact cosine ≥ τ, " +
+     "and never builds a cartesian product") {
+    import spark.implicits._
+    val nd = Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.2)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+
+    val got = nd.select("a_id", "b_id", "sim")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.nonEmpty)
+    // every reported pair shares ≥1 band bucket and its sim is the exact
+    // deterministic-fold cosine, ≥ the threshold
+    val bands = Similarity.srpBands(emb, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    got.foreach { case ((a, b), sim) =>
+      assert(a < b)
+      assert(bands(a).intersect(bands(b)).nonEmpty, s"($a,$b) shares no band")
+      assert(sim == cos(vecs(a), vecs(b)) && sim >= 0.2)
+    }
+    // and completeness: every band-sharing pair above τ is reported
+    val expected = for {
+      (a, ba) <- bands.toSeq; (b, bb) <- bands.toSeq
+      if a < b && ba.intersect(bb).nonEmpty && cos(vecs(a), vecs(b)) >= 0.2
+    } yield (a, b)
+    assert(got.keySet == expected.toSet)
+  }
+
   it("stored probe refuses an uncommitted layout dir") {
     val dir = Files.createTempDirectory("ann-uncommitted-").toString
     intercept[IllegalArgumentException] {
