@@ -28,7 +28,8 @@ object Bench {
     // one merged number let an index-build regression hide inside the
     // signature materialization): `build` = 5-field index build + cache,
     // `signatures` = the shared MinHash table, `annLayout` = the
-    // per-band bucketed ANN replicas.
+    // per-band bucketed ANN replicas, `streamingIngest` = the two
+    // committed streaming segments q_streaming_doclen merges.
     val buildSec = time {
       val c = EntryQueries.ctx(spark, sfDir)
       c.index.postings.count(); c.index.doclen.count()
@@ -37,6 +38,7 @@ object Bench {
     }
     val sigSec = time { EntryQueries.minhashSig(spark, sfDir).count() }
     val annSec = time { EntryQueries.annBucketedDir(spark, sfDir) }
+    val streamSec = time { EntryQueries.streamingDir(spark, sfDir) }
 
     // A query that throws is recorded as -1 (sentinel), excluded from the
     // percentile/total stats, and listed in "failed" — a broken query must
@@ -59,7 +61,7 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","build":$buildSec,""" +
-      s""""signatures":$sigSec,"annLayout":$annSec,""" +
+      s""""signatures":$sigSec,"annLayout":$annSec,"streamingIngest":$streamSec,""" +
       s""""p50":${pct(0.5)},"p99":${pct(0.99)},"failed":$fj,"queries":$qs,"sf":"$sfDir"}""")
     graft.util.SparkQuiesce.stop(spark)
   }
