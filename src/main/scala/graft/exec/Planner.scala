@@ -153,14 +153,13 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   /** Composite lists need result-level df/ctf for scoring — cache the
     * (small) intermediate and aggregate once, only if #SCORE asks. The
-    * cache is QUERY-SCOPED but must survive until the CALLER's action has
-    * consumed it (the final plan references the composite several times;
-    * see [[graft.index.Index.releaseScratch]]), so it is registered on
-    * the long-lived Index and released when the next query plans on this
-    * thread. */
+    * cache lives in the index's bounded LRU (see `Index.scratchLru`):
+    * it survives until the caller's action has consumed it (the final
+    * plan references the composite several times), repeated queries
+    * reuse it through CacheManager plan substitution, and eviction
+    * unpersists it — bounded storage in a serving loop. */
   private def withLazyStats(df0: DataFrame, field: String): IlRes = {
-    val df = df0.cache()
-    index.registerScratch(df)
+    val df = index.registerScratch(df0)
     lazy val agg: (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum($"tf"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -394,16 +393,12 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   // ------------------------------------------------------------- top level
 
-  /** Plan a full query AST to a (docid, score) DataFrame.
-    *
-    * Releases the PREVIOUS query's scratch caches for this thread first
-    * (see [[graft.index.Index.releaseScratch]]): this query's own
-    * composite caches stay alive until the caller's action — the final
-    * score plan references each composite several times, and an early
-    * release was measured to recompute an SDM query 5.6× over — while a
-    * serving loop still pins at most one query's scratch per thread. */
+  /** Plan a full query AST to a (docid, score) DataFrame. Composite
+    * scratch caches created along the way live in the index's bounded
+    * LRU (evicted-and-unpersisted by later queries, reused by repeats —
+    * see `Index.scratchLru`); [[graft.index.Index.releaseScratch]]
+    * drops them all when serving stops. */
   def plan(q: Qry): DataFrame = {
-    index.releaseScratch()
     leafStats = collectLeafStats(q)
     planSl(Qry.asSl(q)).scores
   }
