@@ -106,6 +106,15 @@ class AnnSpec extends AnyFunSpec {
     assert(got.keySet == expected.toSet)
   }
 
+  it("embedding near-dup handles empty survivor and empty candidate sets") {
+    // threshold above any possible cosine → candidates exist, none survive
+    assert(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 1.1)
+      .count() == 0L)
+    // a single vector shares no bucket with anyone → no candidates at all
+    assert(Similarity.embeddingNearDup(emb.limit(1), "vec_id", "embedding",
+      -1.0).count() == 0L)
+  }
+
   it("stored probe refuses an uncommitted layout dir") {
     val dir = Files.createTempDirectory("ann-uncommitted-").toString
     intercept[IllegalArgumentException] {
