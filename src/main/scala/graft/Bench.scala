@@ -53,9 +53,16 @@ object Bench {
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val times = results.map(_._2).filter(_ >= 0).sorted
+    // linear-interpolated percentile (round-3 VERDICT: nearest-rank p99
+    // over ~40 samples silently reports the max)
     def pct(p: Double): Double =
       if (times.isEmpty) 0.0
-      else times(math.min(times.length - 1, (p * times.length).toInt))
+      else {
+        val pos = p * (times.length - 1)
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, times.length - 1)
+        times(lo) + (pos - lo) * (times(hi) - times(lo))
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -12,6 +12,17 @@ import java.util.Locale
   */
 final case class Tok(term: String, pos: Int)
 
+/** Stemming stage of the analyzer chain. */
+sealed trait Stemming extends Serializable
+object Stemming {
+  case object None extends Stemming
+  /** Harman s-stemmer — the pre-round-4 light stemmer. */
+  case object SStem extends Stemming
+  /** Krovetz dictionary-validated stemmer ([[KrovetzStemmer]]) — the
+    * reference's KStem stage (`EnglishAnalyzerConfigurable.java:156`). */
+  case object KStem extends Stemming
+}
+
 /** Analyzer configuration. The reference uses Lucene's
   * StandardTokenizer → LowerCase → Stop → KStem
   * (`QryEval/src/QryEval.java:38-45`); for the source-code corpus the
@@ -22,7 +33,7 @@ final case class Tok(term: String, pos: Int)
   * driver's DuckDB oracle replicate it.
   */
 final case class AnalyzerConfig(stopwords: Set[String] = Set.empty,
-                                stem: Boolean = false)
+                                stemming: Stemming = Stemming.None)
 
 object AnalyzerConfig {
   /** Default profile for source-code corpora: keep everything. */
@@ -37,9 +48,14 @@ object AnalyzerConfig {
     "that", "the", "their", "then", "there", "these", "they", "this",
     "to", "was", "will", "with")
 
-  /** English profile: stopword removal + light (Harman s-) stemming. */
+  /** English profile — the reference's chain: stopword removal + Krovetz
+    * stemming (KStem parity for ClueWeb-style runs). */
   val english: AnalyzerConfig =
-    AnalyzerConfig(stopwords = luceneEnglishStopwords, stem = true)
+    AnalyzerConfig(stopwords = luceneEnglishStopwords, Stemming.KStem)
+
+  /** The pre-round-4 english profile (documented Harman s-stemmer). */
+  val englishLight: AnalyzerConfig =
+    AnalyzerConfig(stopwords = luceneEnglishStopwords, Stemming.SStem)
 }
 
 /** Deterministic tokenizer shared by index build and query parsing. */
@@ -94,7 +110,11 @@ object Analyzer extends Serializable {
     while (p < raw.length) {
       val t = raw(p)
       if (!cfg.stopwords.contains(t))
-        out += Tok(if (cfg.stem) sStem(t) else t, p)
+        out += Tok(cfg.stemming match {
+          case Stemming.None  => t
+          case Stemming.SStem => sStem(t)
+          case Stemming.KStem => KrovetzStemmer.stem(t)
+        }, p)
       p += 1
     }
     out.toArray

@@ -212,6 +212,16 @@ object EntryQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // --- snippet consumer of the forward-index positions (§1.4): the
+    // window of stems around the first query-term hit, distributed
+    // (SearchEngine.snippets — pure expressions over fwdIndex)
+    "q_snippet" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.engine.snippets("spark merge", "body", 8)
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("snippet")).orderBy("doc_id")
+    }),
+
     // --- streaming ingestion: two micro-batch segments over the same
     // documents, merged read must equal the batch answer (oracle =
     // the batch q_doclen SQL)

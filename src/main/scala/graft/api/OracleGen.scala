@@ -257,6 +257,28 @@ object OracleGen {
       "SELECT doc_id, CAST(len(acc) AS DOUBLE) AS score FROM wt WHERE len(acc) > 0")
   }
 
+  /** Snippet oracle (`SearchEngine.snippets`): window of `window` stems
+    * starting at `max(0, firstHit - window/2)`, where firstHit is the
+    * smallest word position holding any query term; under the code
+    * profile every position is filled (no stopword gaps), so the
+    * positions-array length equals the doc length and the join over raw
+    * token positions reproduces the engine's stems/positions walk. */
+  def snippet(terms: Seq[String], window: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val hits = "hits AS (SELECT doc_id, min(pos1 - 1) AS hit FROM toks " +
+      s"WHERE term IN ($termList) GROUP BY doc_id)"
+    val win = "win AS (SELECT h.doc_id AS doc_id, " +
+      s"greatest(0, h.hit - ${window / 2}) AS lo FROM hits h)"
+    val win2 = "win2 AS (SELECT w.doc_id AS doc_id, w.lo AS lo, " +
+      s"least(dl.len, w.lo + $window) AS hi FROM win w JOIN dl USING (doc_id))"
+    withToks(hits, win, win2) +
+      "\nSELECT w.doc_id AS doc_id, " +
+      "string_agg(t.term, ' ' ORDER BY t.pos1) AS snippet " +
+      "FROM win2 w JOIN toks t ON t.doc_id = w.doc_id " +
+      "AND t.pos1 - 1 >= w.lo AND t.pos1 - 1 < w.hi " +
+      "GROUP BY w.doc_id ORDER BY doc_id"
+  }
+
   // ----------------------------------------------------- PRF expansion
 
   /** Indri-RM learned-query oracle (rank, term, weight rounded 6):
@@ -663,6 +685,7 @@ object OracleGen {
       "q_near4" -> nearChain(Seq("data", "stream", "filter"), 4),
       "q_window" -> windowOracle(Seq("spark", "merge", "batch"), 8),
       "q_prf_expand" -> prfExpand(Seq("spark", "merge"), 10, 10, 2500.0),
+      "q_snippet" -> snippet(Seq("spark", "merge"), 8),
       "q_media_features" -> mediaFeatures,
       "q_letor_features" -> letorFeatures(Seq("spark", "hash", "join"), 50),
       "q_token_stats" -> tokenStats,

@@ -6,7 +6,6 @@ import graft.index.Index
 import graft.model._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Facade: parse → plan → execute → rank — the reference's per-query
   * lifecycle E1 (SURVEY §3) as one declarative Spark plan.
@@ -43,8 +42,8 @@ final class SearchEngine(val index: Index,
               window: Int = 8): Option[String] = {
     val terms = graft.analysis.Analyzer.tokenize(queryText, analyzer)
       .map(_.term).toSet
-    index.fwdIndex
-      .filter(col("docid") === docid && col("field") === field)
+    index.fwdVectors(Seq(docid))
+      .filter(col("field") === field)
       .select("stems", "positions").collect().headOption
       .flatMap { r =>
         val stems = r.getSeq[String](0)
@@ -58,6 +57,42 @@ final class SearchEngine(val index: Index,
             .map(i => if (i == 0) "…" else stems(i - 1)).mkString(" "))
         }
       }
+  }
+
+  /** Distributed [[snippet]]: one snippet per document whose `field`
+    * vector contains a query term — the same positions logic as the
+    * point lookup, expressed as pure columnar expressions over the
+    * forward index (no UDF, no driver loop), so a 100 TB corpus computes
+    * snippets as a single scan-shaped pass. Returns (docid, snippet). */
+  def snippets(queryText: String, field: String = "body",
+               window: Int = 8): DataFrame = {
+    val terms = graft.analysis.Analyzer.tokenize(queryText, analyzer)
+      .map(_.term).distinct
+    val termsLit = array(terms.map(lit(_)): _*)
+    val fi = index.fwdIndex.filter(col("field") === field)
+    // First word position whose stem is a query term (positions are
+    // 1-based indexes into stems; 0 = stopword/gap) — via posexplode +
+    // min, NOT a nested array-filter expression: an aggregate is an
+    // optimization barrier, so `hit` reaches the snippet projection as a
+    // plain column. (The expression form read beautifully and ran in
+    // O(len³) per row: CollapseProject + filter pushdown inline the whole
+    // positions derivation into every lambda element.)
+    val hits = fi
+      .select(col("docid"), col("stems"),
+        posexplode(col("positions")).as(Seq("pos", "stem")))
+      .filter(col("stem") > 0 &&
+        array_contains(termsLit, element_at(col("stems"), col("stem"))))
+      .groupBy("docid").agg(min(col("pos")).as("hit"))
+    val lo = greatest(lit(0), col("hit") - lit(window / 2))
+    val hi = least(size(col("positions")), lo + lit(window))
+    fi.join(hits, "docid")
+      .select(col("docid"),
+        array_join(
+          transform(
+            slice(col("positions"), lo + 1, hi - lo),
+            i => when(i === 0, lit("…"))
+              .otherwise(element_at(col("stems"), i))),
+          " ").as("snippet"))
   }
 
   /** Pseudo-relevance-feedback expansion (SURVEY §2.6; orchestration
@@ -131,20 +166,74 @@ final class SearchEngine(val index: Index,
   def searchAst(ast: Qry, model: RetrievalModel, k: Int = 100): DataFrame =
     rank(new Planner(index, model).plan(ast), k)
 
+  /** Two-phase top-k (round-3 VERDICT item 3 — the single-plan form
+    * joined the CORPUS-SCALE docs table on every query BEFORE the limit,
+    * a per-query full docs scan/shuffle at 100 TB):
+    *
+    *  1. `TakeOrderedAndProject` over the narrow (docid, score) frame by
+    *     (score desc, docid asc), fetching `2k` rows — NO docs join. If
+    *     the 2k-th row scores below the k-th, every doc tied at the k-th
+    *     score is inside the fetch, so the candidate set is closed with
+    *     one distributed pass (extid only breaks EQUAL-score ties, and
+    *     all equal-score candidates are in hand).
+    *  2. extids for the ≤2k survivors: a pushed-down `isin` point lookup
+    *     against docs — never a corpus shuffle.
+    *  3. Only when the boundary tie group overflows the fetch (a
+    *     constant-score query — the reference would compare extids of
+    *     every tied doc too, `ScoreList.java:46-78`): one distributed
+    *     `TakeOrderedAndProject` by extid over JUST the tied docs,
+    *     the single case that must touch doc rows beyond 2k.
+    *
+    * The final (score desc, extid asc) order + rank numbering happen on
+    * ≤2k driver rows; result is a LocalRelation. */
   def rank(scoreDf: DataFrame, k: Int): DataFrame = {
-    val ranked = scoreDf
-      .join(index.docs.select(col("docid"), col("extid")), "docid")
-      .orderBy(desc("score"), asc("extid"))
-      .limit(k)
-    // rank numbering happens on ≤k rows — an always-zero partition key
-    // keeps the plan identical (one tiny partition) but stops WindowExec's
-    // "No Partition Defined" warning from burying real regressions. A
-    // literal won't do: constant folding strips foldable partition specs
-    // and the warning returns, so use a non-foldable zero.
-    ranked.withColumn("rank",
-      row_number().over(Window.partitionBy(pmod(col("docid"), lit(1)))
-        .orderBy(desc("score"), asc("extid"))))
-      .select("docid", "extid", "rank", "score")
+    val spark = index.spark
+    import spark.implicits._
+    val m = 2 * k
+    val head = scoreDf
+      .orderBy(desc("score"), asc("docid")).limit(m)
+      .select(col("docid").cast("long"), col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    def extidsOf(ids: Seq[Long]): Map[Long, String] =
+      if (ids.isEmpty) Map.empty
+      else index.docs.filter(col("docid").isin(ids: _*))
+        .select(col("docid"), col("extid"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val withExt: Seq[(Long, Double, String)] =
+      if (head.length <= k) {
+        // the frame is exhausted (≤ k rows) — everything survives
+        val ext = extidsOf(head.map(_._1))
+        head.map { case (d, s) => (d, s, ext(d)) }.toSeq
+      } else {
+        val sk = head(k - 1)._2
+        if (head.length < m || head.last._2 < sk) {
+          // closed: all docs scoring ≥ sk are within the fetched 2k
+          val cands = head.filter(_._2 >= sk)
+          val ext = extidsOf(cands.map(_._1))
+          cands.map { case (d, s) => (d, s, ext(d)) }.toSeq
+        } else {
+          // boundary tie group overflows the fetch: docs with score > sk
+          // are definite (fewer than k of them); the remaining seats are
+          // filled by the globally smallest extids at exactly sk
+          val above = head.takeWhile(_._2 > sk)
+          val ext = extidsOf(above.map(_._1))
+          val need = k - above.length
+          val boundary = scoreDf.filter(col("score") === sk)
+            .join(index.docs.select(col("docid"), col("extid")), "docid")
+            .orderBy(asc("extid")).limit(need)
+            .select(col("docid").cast("long"), col("extid"))
+            .collect().map(r => (r.getLong(0), sk, r.getString(1)))
+          above.map { case (d, s) => (d, s, ext(d)) }.toSeq ++ boundary
+        }
+      }
+
+    val ranked = withExt
+      .sortBy { case (_, s, e) => (-s, e) }
+      .take(k).zipWithIndex
+      .map { case ((d, s, e), i) => (d, e, i + 1, s) }
+    ranked.toDF("docid", "extid", "rank", "score")
   }
 }
 

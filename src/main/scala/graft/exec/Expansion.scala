@@ -49,10 +49,13 @@ object Expansion {
         .na.fill(0L, Seq("len")))
 
     // (docid, term, tf) of the feedback docs — forward-index reads, the
-    // reference's TermVector (`QryExpansion.java:131-151`)
-    val present = index.fwdIndex
+    // reference's TermVector (`QryExpansion.java:131-151`). The docids
+    // are a driver-side Seq, so Index.fwdVectors prunes with an `isin`
+    // FILTER that pushes below the forward-index aggregate to the scan
+    // (a broadcast JOIN never does — round-3 VERDICT item 2: the joined
+    // form re-aggregated the ENTIRE postings table per expansion).
+    val present = index.fwdVectors(topDocs.map(_._1))
       .filter($"field" === "body")
-      .join(broadcast(docsDf.select($"docid")), "docid")
       .select($"docid",
         explode(arrays_zip($"stems", $"stemFreq")).as("st"))
       .select($"docid", $"st.stems".as("term"),

@@ -187,8 +187,19 @@ object LeToRRun {
           "letor:testingDocumentScores is required with the svm_rank binaries"))
         callCmd(Seq(classifyPath.get, testVecFile.get, modelFile.get, sf))
         val src = scala.io.Source.fromFile(sf)
-        try src.getLines().map(_.trim.toDouble).toArray.iterator
-        finally src.close()
+        val scores =
+          try src.getLines().map(_.trim).filter(_.nonEmpty)
+            .map(_.toDouble).toArray
+          finally src.close()
+        // a truncated classify output would otherwise surface as a bare
+        // NoSuchElementException mid-rerank (round-3 ADVICE)
+        val expected = perQuery
+          .map { case (_, top, n) => if (n.isDefined) top.length else 0 }.sum
+        require(scores.length == expected,
+          s"svm_rank_classify wrote ${scores.length} scores to $sf but " +
+            s"$expected test feature vectors were classified — truncated " +
+            "or stale score file")
+        scores.iterator
       }
 
     perQuery.foreach { case (qid, top, normOpt) =>

@@ -74,9 +74,18 @@ final class Planner(index: Index, model: RetrievalModel) {
     val ls = leaves(q).distinct
     // Unknown field = syntax error (reference indexes a fixed field set,
     // `QryEval/src/QryEval.java:467`; silently matching nothing hid typos)
-    ls.map(_._2).distinct.foreach(f =>
+    ls.map(_._2).distinct.foreach { f =>
       require(index.indexedFields.contains(f),
-        s"Query syntax is incorrect. Unknown field: $f"))
+        s"Query syntax is incorrect. Unknown field: $f")
+      // Legacy snapshots carry no indexedFields; a default-named field
+      // accepted only through the DefaultFields union matched nothing at
+      // build time, so a typo would look identical — warn (round-3
+      // ADVICE).
+      if (index.legacyAssumedFields.contains(f))
+        System.err.println(s"[graft] WARNING: field '$f' accepted via the" +
+          " legacy default-field fallback (snapshot lists no" +
+          " indexedFields); it holds no documents and matches nothing")
+    }
     if (ls.isEmpty) return Map.empty
     val conds = ls.map { case (t, f) => $"term" === t && $"field" === f }
       .reduce(_ || _)

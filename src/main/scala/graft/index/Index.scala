@@ -47,7 +47,13 @@ final class Index(
     /** Fields this index was built with (IndexConfig.fields), persisted
       * in stats.json. None (legacy snapshots) ⇒ derived from the fields
       * that actually contain documents. */
-    indexedFieldsOpt: Option[Seq[String]] = None) extends Serializable {
+    indexedFieldsOpt: Option[Seq[String]] = None,
+    /** Persisted forward-index table (docid, field, stems, stemFreq,
+      * positions, segment), set when loaded from an [[IndexStore]]
+      * snapshot that carries one. With it, PRF / LeToR / snippet reads
+      * are partition-pruned columnar scans; without it [[fwdIndex]] is
+      * re-aggregated from postings on every action. */
+    fwdIndexStoredOpt: Option[DataFrame] = None) extends Serializable {
 
   lazy val stats: IndexStats = statsThunk()
 
@@ -62,6 +68,13 @@ final class Index(
     indexedFieldsOpt.map(_.toSet)
       .getOrElse(stats.fields.keySet ++ Index.DefaultFields)
 
+  /** Fields accepted ONLY through the legacy DefaultFields union (empty
+    * for modern snapshots / fresh builds). A query against one of these
+    * may be a typo the union is hiding — [[graft.exec.Planner]] warns. */
+  lazy val legacyAssumedFields: Set[String] =
+    if (indexedFieldsOpt.isDefined) Set.empty
+    else Index.DefaultFields -- stats.fields.keySet
+
   def fieldStats(field: String): FieldStats =
     stats.fields.getOrElse(field, FieldStats(field, 0L, 0L))
 
@@ -72,32 +85,33 @@ final class Index(
     blocksOpt.getOrElse(
       PostingBlocks.fromPostings(spark, postings, doclen))
 
-  /** Forward index (doc vector), built on demand for PRF / LeToR —
-    * reference `TermVector` (`QryEval/src/TermVector.java:19-89`):
-    * `stems` sorted ascending (Lucene TermsEnum order), `stemFreq`
-    * aligned, and `positions(p)` = the 1-BASED index into `stems` of the
-    * word at position p — 0 marks a stopword/gap position, and the array
-    * ends at the LAST indexed position (`TermVector.java:58-88`: length
-    * = max position + 1, slots default 0). Pure expressions: position →
-    * stem pairs flattened into a map, then a sequence scan — no UDF. */
-  lazy val fwdIndex: DataFrame = {
+  /** Forward index (doc vector) — reference `TermVector`
+    * (`QryEval/src/TermVector.java:19-89`): the persisted snapshot table
+    * when one was loaded, otherwise derived on demand from postings
+    * ([[Index.fwdIndexOf]]). */
+  lazy val fwdIndex: DataFrame =
+    fwdIndexStoredOpt.map(_.drop("segment"))
+      .getOrElse(Index.fwdIndexOf(postings))
+
+  /** Forward vectors of SPECIFIC docids — the pruned read PRF / LeToR /
+    * snippet must use (round-3 VERDICT item 2: a join never pushes below
+    * the fwdIndex aggregate, so the un-pruned read re-aggregates the full
+    * postings table per query). An `isin` FILTER on the grouping column
+    * does push below the groupBy to the scan; against a persisted
+    * snapshot the derived `segment` predicate additionally prunes
+    * partition directories. */
+  def fwdVectors(docids: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = flatten(transform(col("stemsTf"), (s, i) =>
-      transform(s.getField("positions"),
-        p => struct(p.as("pos"), (i + lit(1)).cast("int").as("stem")))))
-    postings
-      .groupBy("docid", "field")
-      .agg(sort_array(collect_list(
-        struct(col("term"), col("tf"), col("positions")))).as("stemsTf"))
-      .withColumn("pp", pairs)
-      .withColumn("pmap", map_from_entries(col("pp")))
-      .select(col("docid"), col("field"),
-        col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"),
-        transform(
-          sequence(lit(0),
-            array_max(transform(col("pp"), x => x.getField("pos")))),
-          p => coalesce(element_at(col("pmap"), p), lit(0)))
-          .as("positions"))
+    fwdIndexStoredOpt match {
+      case Some(stored) =>
+        val segs = docids.map(_ >> IndexBuilder.BucketShift).distinct
+        stored
+          .filter(col("segment").isin(segs: _*) &&
+            col("docid").isin(docids: _*))
+          .drop("segment")
+      case None =>
+        Index.fwdIndexOf(postings.filter(col("docid").isin(docids: _*)))
+    }
   }
 
   def cacheAll(): Index = {
@@ -159,6 +173,36 @@ object Index {
     * the legacy-snapshot fallback for [[Index.indexedFields]]. */
   val DefaultFields: Set[String] =
     Set("body", "title", "url", "inlink", "keywords")
+
+  /** Forward-index derivation from a postings frame — reference
+    * `TermVector` (`QryEval/src/TermVector.java:19-89`): `stems` sorted
+    * ascending (Lucene TermsEnum order), `stemFreq` aligned, and
+    * `positions(p)` = the 1-BASED index into `stems` of the word at
+    * position p — 0 marks a stopword/gap position, and the array ends at
+    * the LAST indexed position (`TermVector.java:58-88`: length = max
+    * position + 1, slots default 0). Pure expressions: position → stem
+    * pairs flattened into a map, then a sequence scan — no UDF. Shared by
+    * the on-demand [[Index.fwdIndex]] and the snapshot write
+    * ([[IndexStore.save]]). */
+  def fwdIndexOf(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = flatten(transform(col("stemsTf"), (s, i) =>
+      transform(s.getField("positions"),
+        p => struct(p.as("pos"), (i + lit(1)).cast("int").as("stem")))))
+    postings
+      .groupBy("docid", "field")
+      .agg(sort_array(collect_list(
+        struct(col("term"), col("tf"), col("positions")))).as("stemsTf"))
+      .withColumn("pp", pairs)
+      .withColumn("pmap", map_from_entries(col("pp")))
+      .select(col("docid"), col("field"),
+        col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"),
+        transform(
+          sequence(lit(0),
+            array_max(transform(col("pp"), x => x.getField("pos")))),
+          p => coalesce(element_at(col("pmap"), p), lit(0)))
+          .as("positions"))
+  }
 
   /** Max composite scratch caches kept per index (see `scratchLru`). */
   val ScratchCapacity = 32

@@ -12,7 +12,11 @@ import org.apache.spark.sql.expressions.Window
   *                   *salt* of the salted posting-list build (north rule):
   *                   a hot term's postings are spread across all buckets,
   *                   so no single reducer ever sees a full hot-term list.
-  *                   Must be < 2^20; each bucket holds < 2^43 docs.
+  *                   Must be in [1, 2^20]; each bucket holds < 2^43 docs.
+  *                   Default [[IndexConfig.AutoBuckets]] sizes the count
+  *                   from the corpus at build time (round-3 VERDICT item
+  *                   4: a fixed 64 means a corpus/64 per-task window sort
+  *                   — a straggler factory at 100 TB).
   * @param fields     fields to index. `body` comes from `content`; `title`
   *                   from `path`; `url` from `repo + "/" + path`
   *                   (FIXTURES.md §1 derivation of the reference's
@@ -20,8 +24,23 @@ import org.apache.spark.sql.expressions.Window
   */
 final case class IndexConfig(
     analyzer: AnalyzerConfig = AnalyzerConfig.code,
-    buckets: Int = 64,
+    buckets: Int = IndexConfig.AutoBuckets,
     fields: Seq[String] = Seq("body"))
+
+object IndexConfig {
+  /** Sentinel: derive the bucket count from the corpus at build time
+    * ([[IndexBuilder.bucketsFor]]). */
+  val AutoBuckets = 0
+
+  /** Layout ceiling: bucket id must fit above [[IndexBuilder.BucketShift]]
+    * without touching the sign bit. */
+  val MaxBuckets: Int = 1 << 20
+
+  /** Target raw content bytes per bucket — a bucket is the unit of the
+    * per-bucket docid window sort AND of a persisted segment file, so it
+    * must stay small enough for one task to sort/scan comfortably. */
+  val TargetBucketBytes: Long = 1L << 31 // 2 GiB
+}
 
 /** Builds the inverted index from the corpus table
   * `(repo, path, commit, lang, content)` (BASELINE.json input_hint).
@@ -87,8 +106,39 @@ object IndexBuilder {
         length(regexp_replace(lower(col("content")), "[^a-z0-9]", "")) /
         length(col("content"))).cast("int"))
 
+  /** Bucket count from corpus measurements: enough buckets that one
+    * bucket holds ~[[IndexConfig.TargetBucketBytes]] of content (the
+    * per-task sort/segment unit stays bounded as the corpus grows — at
+    * 100 TB this yields ~50k buckets), floored at the session parallelism
+    * so small corpora still use every core, capped by the layout
+    * ([[IndexConfig.MaxBuckets]]) and by the doc count. */
+  def bucketsFor(docCount: Long, contentBytes: Long,
+                 parallelism: Int): Int = {
+    val byBytes =
+      math.ceil(contentBytes.toDouble / IndexConfig.TargetBucketBytes).toLong
+    val floor = math.min(parallelism.toLong, math.max(docCount, 1L))
+    math.max(1L,
+      math.min(IndexConfig.MaxBuckets.toLong, math.max(byBytes, floor))).toInt
+  }
+
+  /** Resolve [[IndexConfig.AutoBuckets]] — one (count, sum-of-lengths)
+    * aggregate over the corpus; the build scans the corpus anyway, and
+    * the answer is recorded in the snapshot so loads never re-derive. */
+  def resolveBuckets(spark: SparkSession, corpus: DataFrame,
+                     cfg: IndexConfig): Int =
+    if (cfg.buckets != IndexConfig.AutoBuckets) cfg.buckets
+    else {
+      val r = corpus
+        .agg(count(lit(1)), coalesce(sum(length(col("content"))), lit(0L)))
+        .collect()(0)
+      bucketsFor(r.getLong(0), r.getLong(1),
+        spark.sparkContext.defaultParallelism)
+    }
+
   /** Assign deterministic docids and compute the docs table. */
   def assignDocids(corpus: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= IndexConfig.MaxBuckets,
+      s"buckets must be in [1, ${IndexConfig.MaxBuckets}], got $buckets")
     val withExt = corpus
       .withColumn("extid", extidCol)
       .withColumn("sha256", sha2(col("content"), 256))
@@ -160,7 +210,8 @@ object IndexBuilder {
 
   def build(spark: SparkSession, corpus: DataFrame,
             cfg: IndexConfig = IndexConfig()): Index = {
-    val docsAll = assignDocids(corpus, cfg.buckets)
+    val buckets = resolveBuckets(spark, corpus, cfg)
+    val docsAll = assignDocids(corpus, buckets)
     val docs = docsAll
       .select("docid", "extid", "repo", "path", "commit", "lang", "sha256",
         "score")
@@ -181,7 +232,7 @@ object IndexBuilder {
 
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),
-      statsThunk = () => statsOf(docs, doclen), buckets = cfg.buckets,
+      statsThunk = () => statsOf(docs, doclen), buckets = buckets,
       indexedFieldsOpt = Some(cfg.fields))
   }
 }

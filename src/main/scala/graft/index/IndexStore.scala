@@ -29,7 +29,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object IndexStore {
 
   private val Tables =
-    Seq("docs", "postings", "postings_blocks", "doclen", "termstats")
+    Seq("docs", "postings", "postings_blocks", "doclen", "termstats",
+      "fwdindex")
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, "SNAPSHOT.json"))
@@ -93,10 +94,15 @@ object IndexStore {
     // one job group over all derived writes → a failing sibling can
     // cancel the rest (setJobGroup is thread-local: set in each future)
     val jobGroup = s"graft-index-save-$t0"
-    def grouped(body: => Unit): Unit = {
+    // cancelJobGroup only reaches RUNNING jobs: a queued future that
+    // starts after the cancel would still write fully and delay error
+    // propagation (round-3 ADVICE) — the flag turns it into a no-op.
+    @volatile var failed = false
+    def grouped(body: => Unit): Unit = if (!failed) {
       spark.sparkContext.setJobGroup(jobGroup,
         s"index snapshot save $dir", interruptOnCancel = true)
-      body
+      try body
+      catch { case e: Throwable => failed = true; throw e }
     }
     val derived = Seq(
       Future(grouped(writeTable("doclen") {
@@ -120,6 +126,19 @@ object IndexStore {
       })),
       Future(grouped(writeTable("docs") {
         index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+      })),
+      // forward index (TermVector analog), partitioned by docid segment:
+      // PRF / LeToR / snippet reads become partition-pruned point scans
+      // (Index.fwdVectors) instead of a full postings re-aggregation per
+      // query (round-3 VERDICT item 2). One file per segment dir, like
+      // the postings write.
+      Future(grouped(writeTable("fwdindex") {
+        Index.fwdIndexOf(postingsOnDisk)
+          .withColumn("segment",
+            shiftright(col("docid"), IndexBuilder.BucketShift))
+          .repartition(index.buckets, col("segment"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("segment").parquet(s"$dir/fwdindex")
       })),
       // lineage + metrics manifest (north rule): per-segment row counts,
       // term counts, build wall-clock.
@@ -186,7 +205,16 @@ object IndexStore {
       blocksOpt = Some(blocks),
       buckets = buckets,
       indexedFieldsOpt =
-        if (indexedFields.nonEmpty) Some(indexedFields) else None)
+        if (indexedFields.nonEmpty) Some(indexedFields) else None,
+      // legacy snapshots (pre-round-4) carry no fwdindex table — fall
+      // back to on-demand derivation from postings
+      fwdIndexStoredOpt =
+        if (Files.exists(Paths.get(dir, "fwdindex")))
+          Some(spark.read.parquet(s"$dir/fwdindex")
+            .withColumn("segment", col("segment").cast("long"))
+            .select("docid", "field", "stems", "stemFreq", "positions",
+              "segment"))
+        else None)
   }
 
   def writeStats(stats: IndexStats, path: String, buckets: Int = 64,

@@ -72,7 +72,8 @@ object PostingBlocks {
       .repartition($"term", $"field", $"segment")
       .sortWithinPartitions($"term", $"field", $"segment", $"docid")
       .as[(String, String, Long, Long, Int, Array[Int], Long)]
-      .mapPartitions(rows => streamEncode(rows, blockSize))
+      .mapPartitions(rows =>
+        streamEncode(rows, blockSize, segmentMajor = false))
   }
 
   /** Block build over the PERSISTED postings layout — zero shuffle, zero
@@ -97,24 +98,59 @@ object PostingBlocks {
       .select($"term", $"field", $"segment".cast("long").as("segment"),
         $"docid", $"tf", $"positions", $"len")
       .as[(String, String, Long, Long, Int, Array[Int], Long)]
-      .mapPartitions(rows => streamEncode(rows, blockSize))
+      .mapPartitions(rows =>
+        streamEncode(rows, blockSize, segmentMajor = true))
   }
 
   /** Streaming encoder over a (term, field, segment, docid)-sorted row
     * iterator: buffers at most `blockSize` postings, emits a block on
     * fill or key change. Pure iterator-to-iterator — Spark pulls blocks
-    * as the output parquet writer wants them. */
+    * as the output parquet writer wants them.
+    *
+    * The encoder DEPENDS on layout invariants (docids ascending within a
+    * key, each (term, field, segment) run contiguous) that, if violated,
+    * would silently emit corrupt blocks (blockId restarting mid-group,
+    * unsorted docids breaking the delta-gap varbyte) — so it ASSERTS them
+    * and fails loudly instead (round-3 ADVICE). `segmentMajor` names the
+    * incoming sort order: true for the persisted layout (whole segment
+    * files, (term, field) sorted inside each, every segment in one file),
+    * false for the shuffle path's (term, field, segment) sort — both
+    * checks are O(1) memory apart from a per-segment set. */
   private def streamEncode(
       rows: Iterator[(String, String, Long, Long, Int, Array[Int], Long)],
-      blockSize: Int): Iterator[PostingBlock] =
+      blockSize: Int, segmentMajor: Boolean): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val in = rows.buffered
       private var blockId = 0
+      private var lastKey: (String, String, Long) = _
+      private var lastDocid = Long.MinValue
+      private val seenSegments = scala.collection.mutable.HashSet.empty[Long]
 
       def hasNext: Boolean = in.hasNext
 
+      /** New key run — assert the input ordering that makes runs
+        * contiguous, per the declared layout. */
+      private def checkRunStart(key: (String, String, Long)): Unit = {
+        if (lastKey != null) {
+          val ok =
+            if (segmentMajor) {
+              if (key._3 == lastKey._3)
+                Ordering.Tuple2[String, String]
+                  .gt((key._1, key._2), (lastKey._1, lastKey._2))
+              else seenSegments.add(key._3)
+            } else Ordering.Tuple3[String, String, Long].gt(key, lastKey)
+          require(ok, s"posting layout violation: key run for $key is " +
+            s"out of order after $lastKey (segmentMajor=$segmentMajor) — " +
+            "blockId numbering would restart mid-group and emit corrupt " +
+            "blocks")
+        } else if (segmentMajor) seenSegments.add(key._3)
+        lastKey = key
+        lastDocid = Long.MinValue
+      }
+
       def next(): PostingBlock = {
         val (term, field, segment, _, _, _, _) = in.head
+        if (blockId == 0) checkRunStart((term, field, segment))
         val ps = new scala.collection.mutable.ArrayBuffer[Posting](16)
         val lens = new scala.collection.mutable.ArrayBuffer[Long](16)
         var maxTf = 0
@@ -125,6 +161,10 @@ object PostingBlocks {
           val h = in.head; h._1 == term && h._2 == field && h._3 == segment
         }) {
           val (_, _, _, docid, tf, positions, len) = in.next()
+          require(docid > lastDocid, "posting layout violation: docids " +
+            s"not strictly ascending for ($term,$field,$segment): $docid " +
+            s"after $lastDocid — delta-gap varbyte would corrupt")
+          lastDocid = docid
           ps += Posting(docid, tf, positions)
           lens += len
           ctf += tf

