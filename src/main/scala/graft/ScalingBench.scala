@@ -102,12 +102,15 @@ object ScalingBench {
           ("indri_sdm", "#WAND(0.7 #AND(open inverted) " +
             "0.2 #AND(#NEAR/1(inverted index)) " +
             "0.1 #AND(#WINDOW/8(inverted index)))", Indri(2500f, 0.4f)),
+          ("indri_sdm_pruned", "#WAND(0.7 #AND(open inverted) " +
+            "0.2 #AND(#NEAR/1(inverted index)) " +
+            "0.1 #AND(#WINDOW/8(inverted index)))", Indri(2500f, 0.4f)),
           ("boolean_and", "#AND(def class val)", RankedBoolean),
           ("near", "#NEAR/2(inverted index)", RankedBoolean))
         def runs(warm: Boolean) = queries.map { case (name, q, m) =>
           val t0 = System.nanoTime()
           val res =
-            if (name == "bm25_pruned") engine.searchPruned(q, m, 100)
+            if (name.endsWith("_pruned")) engine.searchPruned(q, m, 100)
             else engine.search(q, m, 100)
           res.collect()
           name -> (System.nanoTime() - t0) / 1e9

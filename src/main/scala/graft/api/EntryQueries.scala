@@ -185,6 +185,21 @@ object EntryQueries {
     "q_wand" -> scoredQ("#WAND(0.7 spark 0.3 merge)", IndriModel, 6),
     "q_wsum" -> scoredQ("#WSUM(0.4 spark 0.6 merge)", IndriModel),
 
+    // the reference's flagship SDM shape through the PRUNED Indri
+    // block-max path (IndriBlockMax), oracle-gated against an
+    // independent SQL re-derivation — rank by exact score, report
+    // round 6 (StrictMath vs libm pow ulp)
+    "q_sdm_topk" -> ((s, d) => {
+      val c = ctx(s, d)
+      c.engine.searchPruned("#WAND(0.7 #AND(spark merge) " +
+          "0.2 #NEAR/1(hash join) 0.1 #WINDOW/8(spark merge batch))",
+          IndriModel, 100)
+        .join(docIdMap(c), "docid")
+        .select(col("doc_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    }),
+
     // --- forward index (O18/TermVector analog): doc-major term vectors
     "q_fwdindex" -> ((s, d) => {
       val c = ctx(s, d)

@@ -279,6 +279,98 @@ object OracleGen {
       "GROUP BY w.doc_id ORDER BY doc_id"
   }
 
+  /** Indri child value from arbitrary tf/mle SQL fragments (present →
+    * Dirichlet, absent → default; mirrors `indriChild` for non-term
+    * leaves). */
+  private def indriVal(tf: String, mle: String): String = {
+    val present =
+      s"CAST((${f(lambda)} * (CAST($tf AS FLOAT) + ${f(mu)} * $mle)) / " +
+      s"(CAST(dl.len AS FLOAT) + ${f(mu)}) + ${f(1.0f - lambda)} * $mle AS DOUBLE)"
+    val dflt =
+      s"CAST(((${f(lambda)} * ${f(mu)}) / (CAST(dl.len AS FLOAT) + ${f(mu)}) + " +
+      s"${f(1.0f - lambda)}) * $mle AS DOUBLE)"
+    s"CASE WHEN $tf IS NOT NULL THEN $present ELSE $dflt END"
+  }
+
+  /** The flagship SDM shape, ranked top-100:
+    * `#WAND(w0 #AND(a b) w1 #NEAR/1(c d) w2 #WINDOW/8(e f g))` — the
+    * oracle for the PRUNED Indri path (IndriBlockMax): per-doc score =
+    * pow(geoMean(and-children), w0) × pow(nearVal, w1) × pow(winVal, w2)
+    * over the docid union of all leaf lists, where the positional
+    * leaves' pMLE comes from THEIR list's summed tf. Scores rounded to 6
+    * (StrictMath vs libm pow ulp); ranking uses the exact values. */
+  def sdmTopK(andTerms: Seq[String], nearTerms: (String, String),
+              winTerms: Seq[String], winDist: Int,
+              weights: Seq[Float]): String = {
+    val wn = normWeights(weights)
+    val ctes = andTerms.zipWithIndex.map { case (t, i) => termCte(i, t) }
+    val st = "st AS (SELECT CAST(sum(len) AS BIGINT) AS cl FROM dl)"
+    val consts = "c AS (SELECT " + andTerms.indices.map { i =>
+      s"CAST((SELECT CAST(sum(tf) AS BIGINT) FROM t$i) AS FLOAT) / " +
+      s"CAST((SELECT cl FROM st) AS FLOAT) AS mle$i"
+    }.mkString(", ") + ")"
+    // near list (greedy #NEAR/1 of two distinct terms = adjacent-pair
+    // intersection, see near1) — present docs have tf ≥ 1
+    val (na, nb) = nearTerms
+    val p0 = s"np0 AS (SELECT doc_id, list_sort(list(pos1 - 1)) AS ps FROM toks WHERE term = '$na' GROUP BY doc_id)"
+    val p1 = s"np1 AS (SELECT doc_id, list_sort(list(pos1 - 1)) AS ps FROM toks WHERE term = '$nb' GROUP BY doc_id)"
+    val nr = "nr AS (SELECT doc_id, len(list_intersect(list_transform(" +
+      "np0.ps, p -> p + 1), np1.ps)) AS tf FROM np0 JOIN np1 USING (doc_id))"
+    val nrp = "nrp AS (SELECT doc_id, tf FROM nr WHERE tf > 0)"
+    // window list: reuse the k-pointer walk of windowOracle
+    val k = winTerms.length
+    val wCtes = winTerms.zipWithIndex.map { case (t, i) =>
+      s"wp$i AS (SELECT doc_id, list(pos1 ORDER BY pos1) AS ps FROM toks " +
+      s"WHERE term = '$t' GROUP BY doc_id)"
+    }
+    val cols = (0 until k).flatMap(i => Seq(s"l$i", s"q$i"))
+    val cur = (0 until k).map(i => s"l$i[q$i]")
+    val inBounds = (0 until k).map(i => s"q$i <= len(l$i)").mkString(" AND ")
+    val outBounds = (0 until k).map(i => s"q$i > len(l$i)").mkString(" OR ")
+    val base = "SELECT " +
+      (("wp0.doc_id" +: (0 until k).flatMap(i => Seq(s"wp$i.ps", "1"))) :+
+        "CAST([] AS BIGINT[])").mkString(", ") +
+      " FROM wp0 " + (1 until k).map(i => s"JOIN wp$i USING (doc_id)").mkString(" ")
+    val step = "SELECT doc_id, " +
+      (0 until k).map(i =>
+        s"l$i, CASE WHEN valid THEN q$i + 1 WHEN l$i[q$i] = mn THEN q$i + 1 ELSE q$i END")
+        .mkString(", ") +
+      ", CASE WHEN valid THEN list_append(acc, mx) ELSE acc END " +
+      s"FROM (SELECT doc_id, ${(cols :+ "acc").mkString(", ")}, " +
+      s"greatest(${cur.mkString(", ")}) AS mx, least(${cur.mkString(", ")}) AS mn, " +
+      s"greatest(${cur.mkString(", ")}) - least(${cur.mkString(", ")}) <= ${winDist - 1} AS valid " +
+      s"FROM w WHERE $inBounds) s"
+    val w = s"w(doc_id, ${(cols :+ "acc").mkString(", ")}) AS ($base UNION ALL $step)"
+    val wtp = s"wtp AS (SELECT doc_id, len(acc) AS tf FROM w " +
+      s"WHERE ($outBounds) AND len(acc) > 0)"
+    // positional-leaf pMLEs from their lists' ctf
+    val pm = "pm AS (SELECT " +
+      "CAST((SELECT CAST(COALESCE(sum(tf), 0) AS BIGINT) FROM nrp) AS FLOAT) / " +
+      "CAST((SELECT cl FROM st) AS FLOAT) AS mlen, " +
+      "CAST((SELECT CAST(COALESCE(sum(tf), 0) AS BIGINT) FROM wtp) AS FLOAT) / " +
+      "CAST((SELECT cl FROM st) AS FLOAT) AS mlew)"
+    val andProd = andTerms.indices.foldLeft("1.0e0")((acc, i) =>
+      s"($acc * (${indriChild(i)}))")
+    val andVal = s"pow($andProd, ${d(1.0 / andTerms.length)})"
+    val nearVal = indriVal("nrp.tf", "pm.mlen")
+    val winVal = indriVal("wtp.tf", "pm.mlew")
+    val score = s"(pow($andVal, ${d(wn(0).toDouble)}) * " +
+      s"pow(($nearVal), ${d(wn(1).toDouble)}) * " +
+      s"pow(($winVal), ${d(wn(2).toDouble)}))"
+    val anyP = (andTerms.indices.map(i => s"t$i.tf IS NOT NULL") ++
+      Seq("nrp.tf IS NOT NULL", "wtp.tf IS NOT NULL")).mkString(" OR ")
+    val body = s"SELECT dl.doc_id AS doc_id, $score AS score " +
+      s"FROM dl CROSS JOIN c CROSS JOIN pm ${leftJoins(andTerms.length)} " +
+      "LEFT JOIN nrp ON nrp.doc_id = dl.doc_id " +
+      "LEFT JOIN wtp ON wtp.doc_id = dl.doc_id " +
+      s"WHERE $anyP"
+    withToksRec(ctes ++ Seq(st, consts, p0, p1, nr, nrp) ++ wCtes ++
+      Seq(w, wtp, pm): _*) +
+      "\nSELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, " +
+      "doc_id ASC) AS INT) AS rank, round(score, 6) AS score " +
+      s"FROM ($body) ORDER BY score DESC, doc_id ASC LIMIT 100"
+  }
+
   // ----------------------------------------------------- PRF expansion
 
   /** Indri-RM learned-query oracle (rank, term, weight rounded 6):
@@ -679,6 +771,9 @@ object OracleGen {
       "q_unranked_and" -> unrankedAnd("spark", "window"),
       "q_indri_and" -> indriAnd(Seq("spark", "merge")),
       "q_wand" -> indriWand(Seq("spark", "merge"), wandN),
+      // the pruned IndriBlockMax path vs an independent SQL re-derivation
+      "q_sdm_topk" -> sdmTopK(Seq("spark", "merge"), ("hash", "join"),
+        Seq("spark", "merge", "batch"), 8, Seq(0.7f, 0.2f, 0.1f)),
       "q_wsum" -> indriWsum(Seq("spark", "merge"), wsumN),
       "q_syn" -> rankedSyn("hash", "merge"),
       "q_near" -> near1("hash", "join"),

@@ -120,11 +120,15 @@ final class SearchEngine(val index: Index,
     (learned, combined)
   }
 
-  /** Pruned BM25 top-k via block-max WAND over the compressed block
-    * table, when the query lowers to a bag-of-words `#SUM` (free text
-    * under BM25 always does — the default-op wrap). Falls back to the
-    * exhaustive planner for any other shape. Rank-identical to [[search]]
-    * by construction (property-tested in BlockMaxWandSpec). */
+  /** Pruned top-k over the compressed block table:
+    *  - BM25 bag-of-words `#SUM` (free text under BM25 always is — the
+    *    default-op wrap) → block-max WAND ([[graft.exec.BlockMaxWand]]);
+    *  - Indri product-form `#WAND`/`#AND` trees — including the
+    *    reference's flagship SDM shape — → Dirichlet block-max pruning
+    *    ([[graft.exec.IndriBlockMax]]).
+    * Falls back to the exhaustive planner for any other shape.
+    * Rank-identical to [[search]] by construction (property-tested in
+    * BlockMaxWandSpec / IndriBlockMaxSpec). */
   def searchPruned(queryText: String, model: RetrievalModel,
                    k: Int = 100): DataFrame = model match {
     case bm: graft.model.BM25 =>
@@ -136,6 +140,14 @@ final class SearchEngine(val index: Index,
           rank(graft.exec.BlockMaxWand.topK(
             index, index.blocks, bm, children, field, k), k)
         case None => searchAst(ast, model, k)
+      }
+    case ind: graft.model.Indri =>
+      val ast = QueryParser.parseQuery(queryText, model, analyzer)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Query syntax is incorrect. $queryText"))
+      graft.exec.IndriBlockMax.topK(index, Qry.asSl(ast), ind, k) match {
+        case Some(cands) => rank(cands, k)
+        case None        => searchAst(ast, model, k)
       }
     case _ => search(queryText, model, k)
   }

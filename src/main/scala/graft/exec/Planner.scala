@@ -98,6 +98,14 @@ final class Planner(index: Index, model: RetrievalModel) {
 
   private var leafStats: Map[(String, String), (Long, Long)] = Map.empty
 
+  /** Collect leaf stats without planning — for callers that drive
+    * [[planIl]] directly (e.g. [[IndriBlockMax]] evaluating positional
+    * leaves: #WINDOW's df-ascending arg sort needs the same stats the
+    * full plan would see). */
+  private[exec] def prepare(q: Qry): Unit = {
+    leafStats = collectLeafStats(q)
+  }
+
   // ------------------------------------------------------------------- Il
 
   def planIl(q: Il): IlRes = q match {
