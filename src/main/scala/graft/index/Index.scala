@@ -186,22 +186,35 @@ object Index {
     * ([[IndexStore.save]]). */
   def fwdIndexOf(postings: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = flatten(transform(col("stemsTf"), (s, i) =>
-      transform(s.getField("positions"),
-        p => struct(p.as("pos"), (i + lit(1)).cast("int").as("stem")))))
+    import org.apache.spark.sql.Column
+    // (pos, stemIdx) pairs sorted by position, derived from the agg
+    // output. The gap-fill below deliberately avoids BOTH (a) a
+    // per-position `element_at` on a MAP column — Spark map lookups are
+    // LINEAR scans, and CollapseProject additionally inlines a derived
+    // map column into the lambda so it is rebuilt per element (the
+    // original form measured O(len²)/doc: 503 s to write 400k docs'
+    // forward index, vs ~25 s for the whole rest of the build) — and
+    // (b) lambdas referencing derived columns at all: `zip_with` over
+    // the pairs and their shift-by-one evaluates the (inlined) pairs
+    // expression a constant 3 times per ROW, never per element.
+    def pairsSorted: Column = sort_array(flatten(transform(col("stemsTf"),
+      (s, i) => transform(s.getField("positions"),
+        p => struct(p.as("pos"), (i + lit(1)).cast("int").as("stem"))))))
+    val prevShift = concat(
+      array(struct(lit(-1).as("pos"), lit(0).as("stem"))),
+      slice(pairsSorted, lit(1), size(pairsSorted) - 1))
+    val positions = flatten(zip_with(pairsSorted, prevShift,
+      (cur, prev) => concat(
+        array_repeat(lit(0),
+          cur.getField("pos") - prev.getField("pos") - 1),
+        array(cur.getField("stem")))))
     postings
       .groupBy("docid", "field")
       .agg(sort_array(collect_list(
         struct(col("term"), col("tf"), col("positions")))).as("stemsTf"))
-      .withColumn("pp", pairs)
-      .withColumn("pmap", map_from_entries(col("pp")))
       .select(col("docid"), col("field"),
         col("stemsTf.term").as("stems"), col("stemsTf.tf").as("stemFreq"),
-        transform(
-          sequence(lit(0),
-            array_max(transform(col("pp"), x => x.getField("pos")))),
-          p => coalesce(element_at(col("pmap"), p), lit(0)))
-          .as("positions"))
+        positions.as("positions"))
   }
 
   /** Max composite scratch caches kept per index (see `scratchLru`). */

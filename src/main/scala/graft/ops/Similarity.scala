@@ -279,13 +279,19 @@ object Similarity {
     // join shuffles — measured 76 s vs 8 s at the sf1 probe's 9.5M
     // bucket pairs. But the broadcast side is bounded by
     // ids-touched-by-candidates, NOT by a constant: a 100 TB corpus with
-    // 30-50% dup density makes it a corpus-scale fraction. So MEASURE it
-    // (one linear count over the pruned ids — cheap next to the pair
-    // join) and fall back to SHUFFLE_HASH when the estimate exceeds the
-    // budget: the pair ids (16 B/row) then shuffle against the vectors,
-    // which degrades instead of dying.
-    val candIds = ids.count()
-    val estBroadcastBytes = candIds * (Dim * 8L + 48L) // doubles + row overhead
+    // 30-50% dup density makes it a corpus-scale fraction. Decide in two
+    // tiers: candidate ids are a SUBSET of the corpus, so when the whole
+    // corpus fits the budget (one metadata-cheap count) broadcasting is
+    // safe with no extra work; only an over-budget corpus pays one
+    // linear candidate-id count (an extra SRP-bands pass — measured
+    // +60% on the sf1 probe when paid unconditionally) before falling
+    // back to SHUFFLE_HASH, where the pair ids (16 B/row) shuffle
+    // against the vectors — degrading instead of dying.
+    val rowBytes = Dim * 8L + 48L // doubles + row overhead
+    val candIds =
+      if (df.count() * rowBytes <= broadcastBudgetBytes) 0L // trivially fits
+      else ids.count()
+    val estBroadcastBytes = candIds * rowBytes
     def sided(prefix: String): DataFrame =
       vecs.select(col("id").as(s"${prefix}_id"), col("v").as(s"${prefix}_v"),
         col("n").as(s"${prefix}_n"))
