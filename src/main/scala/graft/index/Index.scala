@@ -219,4 +219,60 @@ object Index {
 
   /** Max composite scratch caches kept per index (see `scratchLru`). */
   val ScratchCapacity = 32
+
+  /** Forward-index derivation off the PERSISTED postings layout — ZERO
+    * shuffle: [[IndexStore.save]] writes postings one-file-per-segment,
+    * so a non-split read (same trick as
+    * [[PostingBlocks.fromSortedPostings]]) gives each task whole
+    * segments; an in-partition (docid, field, term) sort then lets a
+    * streaming per-(docid, field) assembler emit forward rows directly.
+    * At corpus scale this removes the exchange of the positions-bearing
+    * postings — the single biggest cost of the shuffle-based
+    * [[fwdIndexOf]], which remains the path for unsaved in-memory
+    * postings. Output carries `segment` for the partitioned write. */
+  def fwdIndexFromSortedPostings(spark: SparkSession,
+                                 postingsDir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", s"${64L << 30}")
+    s2.conf.set("spark.sql.files.openCostInBytes", s"${1L << 30}")
+    import org.apache.spark.sql.functions._
+    import s2.implicits._
+    s2.read.parquet(postingsDir)
+      .select($"docid", $"field", $"term", $"tf", $"positions",
+        $"segment".cast("long").as("segment"))
+      .sortWithinPartitions($"segment", $"docid", $"field", $"term")
+      .as[(Long, String, String, Int, Array[Int], Long)]
+      .mapPartitions(rows => assembleFwd(rows))
+      .toDF("docid", "field", "stems", "stemFreq", "positions", "segment")
+  }
+
+  /** Streaming (docid, field)-run assembler over a sorted row iterator:
+    * stems arrive term-sorted within the run; positions are gap-filled
+    * from the merged (pos → stemIdx) pairs (0 = stopword gap, array ends
+    * at the last indexed position — `TermVector.java:58-88`). */
+  private def assembleFwd(
+      rows: Iterator[(Long, String, String, Int, Array[Int], Long)])
+      : Iterator[(Long, String, Array[String], Array[Int], Array[Int], Long)] =
+    new Iterator[(Long, String, Array[String], Array[Int], Array[Int], Long)] {
+      private val in = rows.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, String, Array[String], Array[Int], Array[Int], Long) = {
+        val (docid, field, _, _, _, segment) = in.head
+        val stems = scala.collection.mutable.ArrayBuffer.empty[String]
+        val freq = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        while (in.hasNext && { val h = in.head
+          h._1 == docid && h._2 == field }) {
+          val (_, _, term, tf, positions, _) = in.next()
+          stems += term
+          freq += tf
+          val idx = stems.length // 1-based stem index
+          positions.foreach(p => pairs += ((p, idx)))
+        }
+        val sorted = pairs.sortInPlace()(Ordering.by(_._1))
+        val posArr = new Array[Int](sorted.last._1 + 1) // zeros = gaps
+        sorted.foreach { case (p, idx) => posArr(p) = idx }
+        (docid, field, stems.toArray, freq.toArray, posArr, segment)
+      }
+    }
 }

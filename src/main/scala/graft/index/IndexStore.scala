@@ -130,13 +130,13 @@ object IndexStore {
       // forward index (TermVector analog), partitioned by docid segment:
       // PRF / LeToR / snippet reads become partition-pruned point scans
       // (Index.fwdVectors) instead of a full postings re-aggregation per
-      // query (round-3 VERDICT item 2). One file per segment dir, like
-      // the postings write.
+      // query (round-3 VERDICT item 2). Streamed off the persisted
+      // sorted segment layout with ZERO shuffle (an in-partition re-sort
+      // to docid-major + a run assembler — Index.fwdIndexFromSorted
+      // Postings); whole segments per scan partition keep the dynamic
+      // partitionBy at one file per segment dir.
       Future(grouped(writeTable("fwdindex") {
-        Index.fwdIndexOf(postingsOnDisk)
-          .withColumn("segment",
-            shiftright(col("docid"), IndexBuilder.BucketShift))
-          .repartition(index.buckets, col("segment"))
+        Index.fwdIndexFromSortedPostings(spark, s"$dir/postings")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("segment").parquet(s"$dir/fwdindex")
       })),
