@@ -104,11 +104,26 @@ object IndexStore {
       try body
       catch { case e: Throwable => failed = true; throw e }
     }
+    val doclenF = Future(grouped(writeTable("doclen") {
+      IndexBuilder.doclenOf(postingsOnDisk)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+    }))
+    val docsF = Future(grouped(writeTable("docs") {
+      index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+    }))
+    // Global stats from the PERSISTED tables, scheduled as soon as docs
+    // + doclen land (they do not wait for blocks/fwdindex/manifest).
+    // Never touch `index.stats` here: the in-memory thunk aggregates the
+    // UNPERSISTED doclen, i.e. a full corpus re-tokenize — measured as a
+    // hidden serial pass at the end of every save.
+    val statsF: Future[IndexStats] = for {
+      _ <- docsF
+      _ <- doclenF
+    } yield IndexBuilder.statsOf(
+      spark.read.parquet(s"$dir/docs"), doclenOnDisk)
     val derived = Seq(
-      Future(grouped(writeTable("doclen") {
-        IndexBuilder.doclenOf(postingsOnDisk)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-      })),
+      doclenF,
+      docsF,
       Future(grouped(writeTable("termstats") {
         IndexBuilder.termStatsOf(postingsOnDisk)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
@@ -123,9 +138,6 @@ object IndexStore {
         PostingBlocks.fromSortedPostings(spark, s"$dir/postings")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("segment").parquet(s"$dir/postings_blocks")
-      })),
-      Future(grouped(writeTable("docs") {
-        index.docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
       })),
       // forward index (TermVector analog), partitioned by docid segment:
       // PRF / LeToR / snippet reads become partition-pruned point scans
@@ -159,26 +171,27 @@ object IndexStore {
     // snapshot dir is quiescent when save() propagates the error —
     // otherwise siblings keep writing into it after the caller has moved
     // on (round-2 ADVICE).
-    try Await.result(Future.sequence(derived), Duration.Inf)
-    catch {
-      case e: Throwable =>
-        spark.sparkContext.cancelJobGroup(jobGroup)
-        derived.foreach(f =>
-          try Await.result(f, Duration.Inf)
-          catch { case _: Throwable => () })
-        throw e
-    }
-    finally pool.shutdown()
+    val stats =
+      try {
+        Await.result(Future.sequence(derived), Duration.Inf)
+        Await.result(statsF, Duration.Inf)
+      } catch {
+        case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(jobGroup)
+          (derived :+ statsF).foreach(f =>
+            try { Await.result(f, Duration.Inf); () }
+            catch { case _: Throwable => () })
+          throw e
+      }
+      finally pool.shutdown()
 
-    // global stats from the persisted tables (no corpus re-read)
-    writeStats(IndexBuilder.statsOf(
-        spark.read.parquet(s"$dir/docs"), doclenOnDisk),
-      s"$dir/stats.json", index.buckets, index.indexedFields.toSeq.sorted)
+    writeStats(stats, s"$dir/stats.json", index.buckets,
+      index.indexedFields.toSeq.sorted)
 
     // atomic commit: tmp + move
     val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
       s""""tables":[${Tables.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""numDocs":${index.stats.numDocs}}"""
+      s""""numDocs":${stats.numDocs}}"""
     val tmp = Paths.get(dir, "SNAPSHOT.json.tmp")
     Files.writeString(tmp, snap)
     Files.move(tmp, Paths.get(dir, "SNAPSHOT.json"),
