@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DoubleType
   *                     column at scale).
   *  - #SYN           → union + `groupBy(docid)` with flatten/sort.
   *  - #NEAR/#WINDOW  → k-way equi-join on docid + the exact greedy
-  *                     position-match UDFs from [[PositionOps]].
+  *                     position matchers as codegen'd Catalyst
+  *                     expressions ([[PositionMatch]] ≡ [[PositionOps]]).
   *  - #SCORE         → doclen join + float-faithful scoring expressions
   *                     (SURVEY §2.4 — float intermediates, widened to
   *                     double, bit-identical to the reference).
@@ -48,10 +49,9 @@ final class Planner(index: Index, model: RetrievalModel) {
   private val spark = index.spark
   import spark.implicits._
 
-  private val nearUdf =
-    udf((ps: Seq[Seq[Int]], d: Int) => PositionOps.nearPositions(ps, d))
-  private val windowUdf =
-    udf((ps: Seq[Seq[Int]], d: Int) => PositionOps.windowPositions(ps, d))
+  // Position matching runs as codegen'd Catalyst expressions
+  // ([[PositionMatch]]) — semantics identical to [[PositionOps]], which
+  // remains as the independently-tested reference implementation.
 
   // ---------------------------------------------------------------- leaves
 
@@ -140,7 +140,8 @@ final class Planner(index: Index, model: RetrievalModel) {
       val joined = kwayJoin(children)
       val posCols = children.indices.map(i => col(s"pos_$i"))
       val df = joined
-        .withColumn("positions", nearUdf(array(posCols: _*), lit(dist)))
+        .withColumn("positions",
+          PositionExpressions.near(array(posCols: _*), dist))
         .filter(size($"positions") > 0)
         .withColumn("tf", size($"positions"))
         .select($"docid", $"tf", $"positions", $"len")
@@ -160,7 +161,8 @@ final class Planner(index: Index, model: RetrievalModel) {
         val joined = kwayJoin(children)
         val posCols = children.indices.map(i => col(s"pos_$i"))
         val df = joined
-          .withColumn("positions", windowUdf(array(posCols: _*), lit(dist)))
+          .withColumn("positions",
+            PositionExpressions.window(array(posCols: _*), dist))
           .filter(size($"positions") > 0)
           .withColumn("tf", size($"positions"))
           .select($"docid", $"tf", $"positions", $"len")
