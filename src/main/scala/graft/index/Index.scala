@@ -53,7 +53,14 @@ final class Index(
       * snapshot that carries one. With it, PRF / LeToR / snippet reads
       * are partition-pruned columnar scans; without it [[fwdIndex]] is
       * re-aggregated from postings on every action. */
-    fwdIndexStoredOpt: Option[DataFrame] = None) extends Serializable {
+    fwdIndexStoredOpt: Option[DataFrame] = None,
+    /** The analyzer the corpus was tokenized with (stopwords + stemming
+      * variant), recorded in stats.json on save and validated by
+      * [[graft.api.SearchEngine]] — querying with a different analyzer
+      * produces silently wrong/empty matches. None for legacy snapshots
+      * that predate the field. */
+    val analyzerOpt: Option[graft.analysis.AnalyzerConfig] = None)
+  extends Serializable {
 
   lazy val stats: IndexStats = statsThunk()
 

@@ -233,6 +233,7 @@ object IndexBuilder {
     val doclen = doclenOf(postings)
     new Index(spark, docs, postings, doclen, termStatsOf(postings),
       statsThunk = () => statsOf(docs, doclen), buckets = buckets,
-      indexedFieldsOpt = Some(cfg.fields))
+      indexedFieldsOpt = Some(cfg.fields),
+      analyzerOpt = Some(cfg.analyzer))
   }
 }

@@ -1,5 +1,6 @@
 package graft.index
 
+import graft.analysis.{AnalyzerConfig, Stemming}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -186,7 +187,7 @@ object IndexStore {
       finally pool.shutdown()
 
     writeStats(stats, s"$dir/stats.json", index.buckets,
-      index.indexedFields.toSeq.sorted)
+      index.indexedFields.toSeq.sorted, index.analyzerOpt)
 
     // atomic commit: tmp + move
     val snap = s"""{"snapshotId":$t0,"formatVersion":1,""" +
@@ -200,7 +201,8 @@ object IndexStore {
 
   def load(spark: SparkSession, dir: String): Index = {
     require(exists(dir), s"no committed index snapshot at $dir")
-    val (stats, buckets, indexedFields) = readStats(s"$dir/stats.json")
+    val (stats, buckets, indexedFields, analyzer) =
+      readStats(s"$dir/stats.json")
     import spark.implicits._
     val blocks = spark.read.parquet(s"$dir/postings_blocks")
       .withColumn("segment", col("segment").cast("long"))
@@ -227,21 +229,36 @@ object IndexStore {
             .withColumn("segment", col("segment").cast("long"))
             .select("docid", "field", "stems", "stemFreq", "positions",
               "segment"))
-        else None)
+        else None,
+      analyzerOpt = analyzer)
   }
 
   def writeStats(stats: IndexStats, path: String, buckets: Int = 64,
-                 indexedFields: Seq[String] = Seq.empty): Unit = {
+                 indexedFields: Seq[String] = Seq.empty,
+                 analyzer: Option[AnalyzerConfig] = None): Unit = {
     val fields = stats.fields.values.map(f =>
       s"""{"field":"${f.field}","docCount":${f.docCount},""" +
       s""""collectionLength":${f.collectionLength}}""").mkString(",")
     val idxf = indexedFields.map("\"" + _ + "\"").mkString(",")
+    // the analyzer IDENTITY is part of the snapshot: a snapshot queried
+    // with a differently-configured analyzer silently mismatches stems
+    // and stopwords (round-4 ADVICE) — SearchEngine validates this field.
+    val an = analyzer.map { a =>
+      val stem = a.stemming match {
+        case Stemming.None  => "none"
+        case Stemming.SStem => "sstem"
+        case Stemming.KStem => "kstem"
+      }
+      val stops = a.stopwords.toSeq.sorted.map("\"" + _ + "\"").mkString(",")
+      s""","analyzer":{"stemming":"$stem","stopwords":[$stops]}"""
+    }.getOrElse("")
     Files.writeString(Paths.get(path),
       s"""{"numDocs":${stats.numDocs},"buckets":$buckets,""" +
-      s""""indexedFields":[$idxf],"fields":[$fields]}""")
+      s""""indexedFields":[$idxf]$an,"fields":[$fields]}""")
   }
 
-  def readStats(path: String): (IndexStats, Int, Seq[String]) = {
+  def readStats(path: String)
+      : (IndexStats, Int, Seq[String], Option[AnalyzerConfig]) = {
     val s = Files.readString(Paths.get(path))
     val numDocs = """"numDocs":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(s)
@@ -250,11 +267,25 @@ object IndexStore {
       .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
         .map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
+    val analyzer =
+      """"analyzer":\{"stemming":"(\w+)","stopwords":\[([^\]]*)\]\}""".r
+        .findFirstMatchIn(s).map { m =>
+          val stem = m.group(1) match {
+            case "none"  => Stemming.None
+            case "sstem" => Stemming.SStem
+            case "kstem" => Stemming.KStem
+            case other => throw new IllegalStateException(
+              s"$path records unknown stemming variant '$other'")
+          }
+          val stops = """"([^"]+)"""".r.findAllMatchIn(m.group(2))
+            .map(_.group(1)).toSet
+          AnalyzerConfig(stopwords = stops, stemming = stem)
+        }
     val fieldRe =
       """\{"field":"([^"]+)","docCount":(\d+),"collectionLength":(\d+)\}""".r
     val fields = fieldRe.findAllMatchIn(s).map { m =>
       m.group(1) -> FieldStats(m.group(1), m.group(2).toLong, m.group(3).toLong)
     }.toMap
-    (IndexStats(numDocs, fields), buckets, idxf)
+    (IndexStats(numDocs, fields), buckets, idxf, analyzer)
   }
 }

@@ -61,6 +61,39 @@ class IndexStoreSpec extends AnyFunSpec {
       rmTree(Paths.get(dir))
     }
 
+    it("records the analyzer identity and refuses a mismatched query config") {
+      import graft.analysis.{AnalyzerConfig, Stemming}
+      val dir = freshDir().toString
+      val eidx = IndexBuilder.build(spark, CorpusGen.df(spark, 30),
+        IndexConfig(analyzer = AnalyzerConfig.english, buckets = 2))
+      IndexStore.save(eidx, dir)
+      val loaded = IndexStore.load(spark, dir)
+      assert(loaded.analyzerOpt.contains(AnalyzerConfig.english))
+      // matching config constructs fine
+      new graft.api.SearchEngine(loaded, AnalyzerConfig.english)
+      // differently-stemmed config fails loudly instead of silently
+      // matching nothing (round-4 ADVICE)
+      val e1 = intercept[IllegalArgumentException] {
+        new graft.api.SearchEngine(loaded, AnalyzerConfig.code)
+      }
+      assert(e1.getMessage.contains("analyzer mismatch"))
+      // a legacy snapshot (no analyzer field) refuses the KStem profile
+      val statsPath = Paths.get(dir, "stats.json")
+      val legacy = Files.readString(statsPath)
+        .replaceAll(""","analyzer":\{[^}]*\}""", "")
+      Files.writeString(statsPath, legacy)
+      val legacyIdx = IndexStore.load(spark, dir)
+      assert(legacyIdx.analyzerOpt.isEmpty)
+      val e2 = intercept[IllegalArgumentException] {
+        new graft.api.SearchEngine(legacyIdx, AnalyzerConfig.english)
+      }
+      assert(e2.getMessage.contains("predates analyzer recording"))
+      // ...but still serves the safe profiles
+      new graft.api.SearchEngine(legacyIdx, AnalyzerConfig.code)
+      new graft.api.SearchEngine(legacyIdx, AnalyzerConfig.englishLight)
+      rmTree(Paths.get(dir))
+    }
+
     it("fwdVectors over a snapshot is a partition-pruned point read " +
        "with the same rows as the derived forward index") {
       import spark.implicits._
