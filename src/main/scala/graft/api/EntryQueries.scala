@@ -261,7 +261,8 @@ object EntryQueries {
         .orderBy("rank")
     }),
 
-    // --- PRF expansion (O16) + LeToR features (O17) — rows-only checks
+    // --- PRF expansion (O16) + LeToR features (O17) — hash-gated like
+    // every other entry (their oracle SQL replays the reference numerics)
     "q_prf_expand" -> ((s, d) => {
       import s.implicits._
       val c = ctx(s, d)
@@ -371,10 +372,18 @@ object EntryQueries {
         Multimodal.withBinary(documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
     "q_media_features" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(s,
-        Multimodal.withBinary(documents(s, d), "doc_id", "text"))
-      feats.toDF().select(col("doc_id"), col("n_bytes"), col("magic"),
-        element_at(col("feature"), 3).cast("double").as("avg_byte"))
+      // REAL image decode: deterministic per-doc PNGs → javax.imageio
+      // per-partition decode → pixel statistics. The oracle recomputes
+      // width/height/channel means from the integer pixel formula (PNG is
+      // lossless), and the PNG magic gates that real image bytes flowed.
+      // n_bytes is encoder-dependent (not SQL-reproducible) so the
+      // contract projection omits it.
+      val items = Multimodal.withSyntheticImages(s, documents(s, d), "doc_id")
+      Multimodal.extractFeatures(s, items).toDF()
+        .select(col("doc_id"), col("magic"), col("width"), col("height"),
+          element_at(col("feature"), 1).cast("double").as("avg_r"),
+          element_at(col("feature"), 2).cast("double").as("avg_g"),
+          element_at(col("feature"), 3).cast("double").as("avg_b"))
         .orderBy("doc_id")
     })
   )

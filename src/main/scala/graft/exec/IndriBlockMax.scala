@@ -198,12 +198,19 @@ object IndriBlockMax {
     implicit val ord: Ordering[(Long, Double)] =
       Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
     val heap = mutable.PriorityQueue.empty[(Long, Double)]
+    // The prune-safety margin on theta scales with the LEAF COUNT: the
+    // bound side is a sum of |leaves| per-leaf terms, each individually
+    // eps-widened, but float-vs-log rounding of the exact replay can
+    // accumulate across leaves too — a fixed single-eps margin could in
+    // principle be outrun by a deep tree (round-4 ADVICE). Widening theta
+    // by eps·|leaves| only loosens pruning, never flips one.
+    val thetaEps = Eps * math.max(1, u.size)
     def logTheta: Double =
       if (heap.size < k) Double.NegativeInfinity
       else {
         val t = heap.head._2
         if (t <= 0) Double.NegativeInfinity // guard: log of non-positive
-        else { val l = math.log(t); l - Eps * (1.0 + math.abs(l)) }
+        else { val l = math.log(t); l - thetaEps * (1.0 + math.abs(l)) }
       }
     def betterThanWorst(docid: Long, score: Double): Boolean = {
       val (wd, ws) = heap.head

@@ -182,8 +182,12 @@ object Similarity {
     val lp = java.nio.file.Paths.get(dir, "_LAYOUT.json")
     require(java.nio.file.Files.exists(lp),
       s"bucketed ANN layout at $dir has no _LAYOUT.json (incomplete write)")
-    """"dirs":(\d+)""".r.findFirstMatchIn(java.nio.file.Files.readString(lp))
-      .get.group(1).toInt
+    val layout = java.nio.file.Files.readString(lp)
+    """"dirs":(\d+)""".r.findFirstMatchIn(layout)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"bucketed ANN layout at $dir has a corrupt _LAYOUT.json " +
+        s"(no \"dirs\" field): $layout"))
   }
 
   /** Probe the per-band bucketed layout: each band's candidates come from

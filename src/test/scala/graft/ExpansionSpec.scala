@@ -62,4 +62,32 @@ class ExpansionSpec extends AnyFunSpec {
     check("single feedback doc", "parser", 1, 5, 2500.0, 0.7)
     check("fbTerms > vocab", "zzznotaterm open", 3, 10000, 2500.0, 0.5)
   }
+
+  describe("expansion vocabulary scan (round-4 VERDICT item 4)") {
+    it("filters termStats with a pushable In/InSet — no corpus-wide " +
+       "probe, and over a snapshot the predicate reaches the parquet scan") {
+      import graft.index.IndexStore
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+      val terms = Seq("open", "inverted", "index")
+      // in-memory index: the optimized plan carries the In/InSet filter
+      val plan = Expansion.vocabScan(engine.index, terms)
+        .queryExecution.optimizedPlan
+      val hasIn = plan.expressions.exists(_.exists {
+        case _: In | _: InSet => true
+        case _                => false
+      }) || plan.children.exists(_.expressions.exists(_.exists {
+        case _: In | _: InSet => true
+        case _                => false
+      }))
+      assert(hasIn, plan.toString)
+      // snapshot-backed index: the predicate is PUSHED to the scan
+      val dir = java.nio.file.Files.createTempDirectory("exp-vocab").toString
+      IndexStore.save(engine.index, dir)
+      val loaded = IndexStore.load(spark, dir)
+      val exec = Expansion.vocabScan(loaded, terms)
+        .queryExecution.executedPlan.toString
+      assert(exec.contains("PushedFilters") &&
+             (exec.contains("In(term") || exec.contains("In(`term`")), exec)
+    }
+  }
 }
