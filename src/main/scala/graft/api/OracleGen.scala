@@ -714,20 +714,28 @@ object OracleGen {
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
     "upper(substr(hex(encode(text)), 1, 8)) AS magic FROM documents ORDER BY doc_id"
 
-  /** Mirrors `Multimodal.decodeStub`'s avg-byte feature: byte sum parsed
-    * from hex pairs; float division like the stub's `sum.toFloat / len`. */
-  def mediaFeatures: String =
-    "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents), " +
-    "s AS (SELECT doc_id, n_bytes, upper(substr(hx, 1, 8)) AS magic, " +
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-    "list_transform(generate_series(1, n_bytes), " +
-    "i -> ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2))::BIGINT)), " +
-    "(x, y) -> x + y) AS bsum FROM b)\n" +
-    "SELECT doc_id, n_bytes, magic, " +
-    "CASE WHEN n_bytes > 0 THEN CAST(CAST(bsum AS FLOAT) / " +
-    "CAST(n_bytes AS FLOAT) AS DOUBLE) ELSE 0.0e0 END AS avg_byte " +
+  /** Recomputes `Multimodal.decode`'s pixel statistics from the
+    * deterministic generator formula (`Multimodal.pixel`): PNG is
+    * lossless, so the decoded channel sums equal the generated ones; the
+    * magic column is the PNG signature, gating that real encoded image
+    * bytes flowed through the decode. Float divisions mirror
+    * `sum.toFloat / (w*h).toFloat`. */
+  def mediaFeatures: String = {
+    def chanSum(c: Int): String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(0, CAST(width AS BIGINT) * height - 1), " +
+      s"i -> (doc_id * 7 + (i % width) * 13 + (i // width) * 31 + $c * 101) " +
+      "% 256)), (x, y) -> x + y)"
+    "WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width, " +
+    "CAST(3 + doc_id % 4 AS INT) AS height FROM documents), " +
+    s"s AS (SELECT doc_id, width, height, ${chanSum(0)} AS sr, " +
+    s"${chanSum(1)} AS sg, ${chanSum(2)} AS sb FROM g)\n" +
+    "SELECT doc_id, '89504E47' AS magic, width, height, " +
+    "CAST(CAST(sr AS FLOAT) / CAST(width * height AS FLOAT) AS DOUBLE) AS avg_r, " +
+    "CAST(CAST(sg AS FLOAT) / CAST(width * height AS FLOAT) AS DOUBLE) AS avg_g, " +
+    "CAST(CAST(sb AS FLOAT) / CAST(width * height AS FLOAT) AS DOUBLE) AS avg_b " +
     "FROM s ORDER BY doc_id"
+  }
 
   // ------------------------------------------------------------- all
 
