@@ -88,23 +88,31 @@ object Main {
     params.get("fbExpansionQueryFile").foreach(new java.io.File(_).delete())
 
     val t0 = System.nanoTime()
-    ParamFile.loadQueries(params("queryFilePath")).foreach { case (qid, q0) =>
-      val q = if (!fb) q0 else {
-        // PRF rewrite (`QryEval/src/QryEval.java:154-185`)
-        val fbp = graft.exec.Expansion.FbParams(
-          params("fbDocs").toInt, params("fbTerms").toInt,
-          params("fbMu").toDouble, params("fbOrigWeight").toDouble)
-        val initial = params.get("fbInitialRankingFile").map { f =>
-          TrecWriter.readTopDocs(f, qid, fbp.fbDocs, engine.index)
-        }
-        val (learned, combined) = engine.expand(q0, model, fbp, initial)
-        params.get("fbExpansionQueryFile").foreach { f =>
-          val w = new java.io.BufferedWriter(new java.io.FileWriter(f, true))
-          try w.write(s"$qid: $learned\n") finally w.close() // QryEval.java:617-632
-        }
-        combined
+    val queries = ParamFile.loadQueries(params("queryFilePath"))
+    if (!fb) {
+      // Batched E1 (round-4 VERDICT item 6): concurrent phase-1 jobs, one
+      // shared extid lookup — instead of 2-3 serial driver round-trips
+      // per query.
+      engine.searchBatch(queries, model, 100).foreach { case (qid, rows) =>
+        TrecWriter.append(out, qid,
+          rows.map { case (_, extid, rank, score) => (extid, rank, score) })
       }
-      val ranked = engine.search(q, model, 100)
+    } else queries.foreach { case (qid, q0) =>
+      // PRF rewrite (`QryEval/src/QryEval.java:154-185`) — inherently
+      // serial per query: the expansion's feedback pass precedes the
+      // final ranking.
+      val fbp = graft.exec.Expansion.FbParams(
+        params("fbDocs").toInt, params("fbTerms").toInt,
+        params("fbMu").toDouble, params("fbOrigWeight").toDouble)
+      val initial = params.get("fbInitialRankingFile").map { f =>
+        TrecWriter.readTopDocs(f, qid, fbp.fbDocs, engine.index)
+      }
+      val (learned, combined) = engine.expand(q0, model, fbp, initial)
+      params.get("fbExpansionQueryFile").foreach { f =>
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f, true))
+        try w.write(s"$qid: $learned\n") finally w.close() // QryEval.java:617-632
+      }
+      val ranked = engine.search(combined, model, 100)
       TrecWriter.writeResults(out, qid, ranked)
     }
     // Reference prints total running time (`QryEval.java:229-230`).

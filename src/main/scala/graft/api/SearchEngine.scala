@@ -196,10 +196,22 @@ final class SearchEngine(val index: Index,
     * TakeOrderedAndProject (the reference's bounded heap,
     * `QryEval.java:640-660`, distributed). */
   def search(queryText: String, model: RetrievalModel,
-             k: Int = 100): DataFrame = rank(scores(queryText, model), k)
+             k: Int = 100): DataFrame =
+    rank(scores(queryText, model), k, tieProne(model))
 
   def searchAst(ast: Qry, model: RetrievalModel, k: Int = 100): DataFrame =
-    rank(new Planner(index, model).plan(ast), k)
+    rank(new Planner(index, model).plan(ast), k, tieProne(model))
+
+  /** Coarse-score models (constant 1.0 / small-integer tf scores) tie
+    * MANY docs at the k boundary, so their rank() calls routinely take
+    * the overflow branch — cache the narrow score frame for them so that
+    * branch reuses phase 1's computation instead of re-executing the
+    * query. Float-scored models (BM25/Indri) tie only on duplicate docs
+    * and skip the cache. */
+  private def tieProne(model: RetrievalModel): Boolean = model match {
+    case UnrankedBoolean | RankedBoolean => true
+    case _                               => false
+  }
 
   /** Two-phase top-k (round-3 VERDICT item 3 — the single-plan form
     * joined the CORPUS-SCALE docs table on every query BEFORE the limit,
@@ -220,55 +232,141 @@ final class SearchEngine(val index: Index,
     *     the single case that must touch doc rows beyond 2k.
     *
     * The final (score desc, extid asc) order + rank numbering happen on
-    * ≤2k driver rows; result is a LocalRelation. */
-  def rank(scoreDf: DataFrame, k: Int): DataFrame = {
+    * ≤2k driver rows; result is a LocalRelation.
+    *
+    * EAGER: calling rank() runs the phase-1 job (and up to two small
+    * point-lookup jobs) immediately and returns a local frame — it is the
+    * terminal action of a query, not a lazy transformation. */
+  def rank(scoreDf: DataFrame, k: Int): DataFrame =
+    rank(scoreDf, k, cacheScores = false)
+
+  /** `cacheScores = true` persists the narrow (docid, score) frame across
+    * the phases, so the boundary-tie overflow pass (step 3) reuses
+    * phase 1's computation instead of re-executing the full query lineage
+    * — worth it exactly for the coarse-score models where ties at the k
+    * boundary are the COMMON case ([[tieProne]]); float-scored models
+    * skip the cache write. */
+  def rank(scoreDf: DataFrame, k: Int, cacheScores: Boolean): DataFrame = {
     val spark = index.spark
     import spark.implicits._
-    val m = 2 * k
-    val head = scoreDf
-      .orderBy(desc("score"), asc("docid")).limit(m)
+    val narrow = narrowScores(scoreDf, cacheScores)
+    try {
+      val head = takeHead(narrow, 2 * k)
+      val cls = classifyHead(head, k)
+      val ext = extidsOf(cls.survivors.map(_._1))
+      val withExt =
+        cls.survivors.map { case (d, s) => (d, s, ext(d)) }.toSeq ++
+          cls.overflow.toSeq.flatMap { case (sk, need) =>
+            boundaryPass(narrow, sk, need)
+          }
+      finalizeRank(withExt, k).toDF("docid", "extid", "rank", "score")
+    } finally if (cacheScores) narrow.unpersist(false)
+  }
+
+  // ------------------------------------------------- rank internals
+  // (shared by rank() and the batched E1 path searchBatch())
+
+  private def narrowScores(scoreDf: DataFrame,
+                           cacheScores: Boolean): DataFrame = {
+    val narrow = scoreDf
       .select(col("docid").cast("long"), col("score").cast("double"))
+    if (cacheScores)
+      narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else narrow
+  }
+
+  private def takeHead(narrow: DataFrame, m: Int): Array[(Long, Double)] =
+    narrow.orderBy(desc("score"), asc("docid")).limit(m)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
-    def extidsOf(ids: Seq[Long]): Map[Long, String] =
-      if (ids.isEmpty) Map.empty
-      else index.docs.filter(col("docid").isin(ids: _*))
-        .select(col("docid"), col("extid"))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  /** survivors = head rows that are definitely in the candidate set;
+    * overflow = Some((sk, need)) when the boundary tie group at the k-th
+    * score overflowed the 2k fetch and a distributed extid pass over the
+    * tied docs must fill the remaining seats. */
+  private final case class HeadClass(survivors: Array[(Long, Double)],
+                                     overflow: Option[(Double, Int)])
 
-    val withExt: Seq[(Long, Double, String)] =
-      if (head.length <= k) {
-        // the frame is exhausted (≤ k rows) — everything survives
-        val ext = extidsOf(head.map(_._1))
-        head.map { case (d, s) => (d, s, ext(d)) }.toSeq
-      } else {
-        val sk = head(k - 1)._2
-        if (head.length < m || head.last._2 < sk) {
-          // closed: all docs scoring ≥ sk are within the fetched 2k
-          val cands = head.filter(_._2 >= sk)
-          val ext = extidsOf(cands.map(_._1))
-          cands.map { case (d, s) => (d, s, ext(d)) }.toSeq
-        } else {
-          // boundary tie group overflows the fetch: docs with score > sk
-          // are definite (fewer than k of them); the remaining seats are
-          // filled by the globally smallest extids at exactly sk
-          val above = head.takeWhile(_._2 > sk)
-          val ext = extidsOf(above.map(_._1))
-          val need = k - above.length
-          val boundary = scoreDf.filter(col("score") === sk)
-            .join(index.docs.select(col("docid"), col("extid")), "docid")
-            .orderBy(asc("extid")).limit(need)
-            .select(col("docid").cast("long"), col("extid"))
-            .collect().map(r => (r.getLong(0), sk, r.getString(1)))
-          above.map { case (d, s) => (d, s, ext(d)) }.toSeq ++ boundary
-        }
+  private def classifyHead(head: Array[(Long, Double)],
+                           k: Int): HeadClass =
+    if (head.length <= k) HeadClass(head, None) // frame exhausted
+    else {
+      val sk = head(k - 1)._2
+      if (head.length < 2 * k || head.last._2 < sk)
+        // closed: all docs scoring ≥ sk are within the fetched 2k
+        HeadClass(head.filter(_._2 >= sk), None)
+      else {
+        // docs with score > sk are definite (fewer than k of them); the
+        // remaining seats are filled by the globally smallest extids at
+        // exactly sk
+        val above = head.takeWhile(_._2 > sk)
+        HeadClass(above, Some((sk, k - above.length)))
       }
+    }
 
-    val ranked = withExt
+  private def extidsOf(ids: Seq[Long]): Map[Long, String] =
+    if (ids.isEmpty) Map.empty
+    else index.docs.filter(col("docid").isin(ids: _*))
+      .select(col("docid"), col("extid"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def boundaryPass(narrow: DataFrame, sk: Double,
+                           need: Int): Seq[(Long, Double, String)] =
+    narrow.filter(col("score") === sk)
+      .join(index.docs.select(col("docid"), col("extid")), "docid")
+      .orderBy(asc("extid")).limit(need)
+      .select(col("docid"), col("extid"))
+      .collect().map(r => (r.getLong(0), sk, r.getString(1))).toSeq
+
+  private def finalizeRank(withExt: Seq[(Long, Double, String)],
+                           k: Int): Seq[(Long, String, Int, Double)] =
+    withExt
       .sortBy { case (_, s, e) => (-s, e) }
       .take(k).zipWithIndex
       .map { case ((d, s, e), i) => (d, e, i + 1, s) }
-    ranked.toDF("docid", "extid", "rank", "score")
+
+  /** Batched E1 evaluation (round-4 VERDICT item 6): the serial per-query
+    * loop pays two-to-three DRIVER round-trips per query; here every
+    * query's phase-1 top-k job is submitted concurrently (the scheduler
+    * interleaves their tasks instead of idling between small jobs) and
+    * the surviving docids of ALL queries resolve extids in ONE docs
+    * point-lookup job. The rare boundary-overflow passes stay per-query.
+    * Per-query results are identical to [[rank]] by construction (same
+    * classify/boundary/finalize helpers). */
+  def searchBatch(queries: Seq[(Int, String)], model: RetrievalModel,
+                  k: Int = 100): Seq[(Int, Seq[(Long, String, Int, Double)])] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val cache = tieProne(model)
+    // plan serially: parsing + leaf-stat lookups mutate planner caches
+    val planned: Seq[(Int, DataFrame)] = queries.map { case (qid, q) =>
+      qid -> narrowScores(scores(q, model), cache)
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, queries.length)))
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        ExecutionContext.fromExecutorService(pool)
+      val heads =
+        try Await.result(
+          Future.sequence(planned.map { case (qid, narrow) =>
+            Future((qid, narrow, takeHead(narrow, 2 * k)))
+          }), Duration.Inf)
+        finally pool.shutdown()
+      val classified = heads.map { case (qid, narrow, head) =>
+        (qid, narrow, classifyHead(head, k))
+      }
+      // ONE extid job for every query's survivors
+      val ext = extidsOf(
+        classified.flatMap(_._3.survivors.map(_._1)).distinct)
+      classified.map { case (qid, narrow, cls) =>
+        val withExt =
+          cls.survivors.map { case (d, s) => (d, s, ext(d)) }.toSeq ++
+            cls.overflow.toSeq.flatMap { case (sk, need) =>
+              boundaryPass(narrow, sk, need)
+            }
+        qid -> finalizeRank(withExt, k)
+      }
+    } finally if (cache) planned.foreach(_._2.unpersist(false))
   }
 }
 
