@@ -76,6 +76,7 @@ object Main {
       // (`QryEval/src/QryEval.java:125-226`)
       val t0 = System.nanoTime()
       graft.exec.LeToRRun.run(engine, params, cfg)
+      printMemoryUsage(gc = true)
       println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.util.SparkQuiesce.stop(spark)
       return
@@ -115,8 +116,18 @@ object Main {
       val ranked = engine.search(combined, model, 100)
       TrecWriter.writeResults(out, qid, ranked)
     }
-    // Reference prints total running time (`QryEval.java:229-230`).
+    // Reference prints post-GC memory then total running time
+    // (`QryEval.java:228-230,502-512`).
+    printMemoryUsage(gc = true)
     println(f"Total running time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     graft.util.SparkQuiesce.stop(spark)
+  }
+
+  /** `QryEval.printMemoryUsage` (`QryEval.java:494-512`). */
+  def printMemoryUsage(gc: Boolean): Unit = {
+    val rt = Runtime.getRuntime
+    if (gc) rt.gc()
+    println("Memory used:  " +
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L) + " MB")
   }
 }

@@ -106,14 +106,34 @@ final class Planner(index: Index, model: RetrievalModel) {
     leafStats = collectLeafStats(q)
   }
 
+  /** Docid restriction applied at every term-leaf scan while set —
+    * [[planIlRestricted]] only. */
+  private var docidPred: Option[Column] = None
+
+  /** Evaluate `q` with a docid predicate at every term-leaf scan
+    * (round-4 VERDICT item 3 — positional-leaf segment pruning): the
+    * restriction lands BELOW the composite's scratch-cache registration
+    * and aggregates, so caches, intermediate joins, and the composite's
+    * lazy ctf hold only the restricted rows, and Catalyst pushes the
+    * ranges through the k-way join into the postings scans. Term-leaf
+    * df/ctf stats stay GLOBAL (the reference sorts #WINDOW args by
+    * collection-wide df, and composite scoring uses the composite's own
+    * stats). */
+  private[exec] def planIlRestricted(q: Il, pred: Column): IlRes = {
+    docidPred = Some(pred)
+    try planIl(q)
+    finally docidPred = None
+  }
+
   // ------------------------------------------------------------------- Il
 
   def planIl(q: Il): IlRes = q match {
     case Term(t, f) =>
       // len rides inline on posting rows (Lucene-norm style) — scoring
       // needs no doclen join for docs that match
-      val df = index.postings
+      val base = index.postings
         .filter($"term" === t && $"field" === f)
+      val df = docidPred.fold(base)(base.filter)
         .select($"docid", $"tf", $"positions", $"len")
       val (dfc, ctf) = leafStats.getOrElse((t, f), (0L, 0L))
       IlRes(df, f, () => dfc, () => ctf)

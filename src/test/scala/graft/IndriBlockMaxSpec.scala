@@ -56,6 +56,46 @@ class IndriBlockMaxSpec extends AnyFunSpec {
     }
   }
 
+  describe("positional-leaf segment pruning (round-4 VERDICT item 3)") {
+    it("a rare+hot positional join is restricted to co-occurrence-" +
+       "eligible segments, bit-identically") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // the term spanning the fewest segments + the hottest term sharing
+      // one of its documents: the hot term's positional scan can skip
+      // every segment the rare term does not reach
+      val rare = blocks4.toDF().filter($"field" === "body")
+        .groupBy($"term").agg(countDistinct($"segment").as("nseg"))
+        .orderBy($"nseg".asc, $"term".asc)
+        .select($"term").as[String].head()
+      val rareDoc = engine.index.postings
+        .filter($"term" === rare && $"field" === "body")
+        .select($"docid").as[Long].head()
+      val docTerms = engine.index.postings
+        .filter($"docid" === rareDoc && $"field" === "body")
+        .select($"term").as[String].collect().toSet
+      val hot = engine.index.termStats.filter($"field" === "body")
+        .filter($"term".isin(docTerms.toSeq: _*))
+        .orderBy($"df".desc).select($"term").as[String].head()
+      def segsOf(t: String): Set[Long] = blocks4.toDF()
+        .filter($"term" === t && $"field" === "body")
+        .select($"segment").distinct().as[Long].collect().toSet
+      val (rareSegs, hotSegs) = (segsOf(rare), segsOf(hot))
+      assert((rareSegs intersect hotSegs).size < (rareSegs union hotSegs).size,
+        s"fixture must make pruning fire: rare=$rare$rareSegs hot=$hot$hotSegs")
+      val q = s"#WAND(0.6 $hot 0.4 #WINDOW/999($rare $hot))"
+      runBoth(q, 10) // bit-identity through the pruned path
+      // ...and the positional evaluation carries the docid-range
+      // restriction (visible in the candidate plan's list sub-plan)
+      val ast = QueryParser.parseQuery(q, model, cfg).get
+      val cands = IndriBlockMax.topK(engine.index, blocks4,
+        Qry.asSl(ast), model, 10).get
+      val plan = cands.queryExecution.optimizedPlan.toString
+      assert(plan.contains("docid") &&
+             (plan.contains(">=") && plan.contains("<=")), plan.take(1200))
+    }
+  }
+
   describe("Indri block-max pruning vs exhaustive (bit-identical top-k)") {
     it("the reference's flagship SDM shape") {
       runBoth("#WAND(0.7 #AND(open inverted) 0.2 #NEAR/1(open inverted) " +
