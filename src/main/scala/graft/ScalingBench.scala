@@ -96,6 +96,18 @@ object ScalingBench {
         idx.postings.count() // materialize cache
         idx.blocks.cache().count()
         val engine = new SearchEngine(idx, AnalyzerConfig.code)
+        // rare+hot positional pair: a hapax identifier inside #NEAR with a
+        // hot keyword — the shape positional-leaf segment pruning targets
+        // (the hot term's positional scan skips every segment the hapax
+        // does not reach). Term selected data-driven so any corpus works.
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val hapax = idx.termStats
+          .filter(col("field") === "body" && col("term").startsWith("uid") &&
+            col("df") === 1)
+          .orderBy("term").select("term").as[String].head()
+        val rareSdm = s"#WAND(0.7 #AND(open inverted) " +
+          s"0.3 #AND(#NEAR/900($hapax def)))"
         val queries = Seq(
           ("bm25", "open inverted index query", BM25(1.2f, 0.75f, 0f)),
           ("bm25_pruned", "open inverted index query", BM25(1.2f, 0.75f, 0f)),
@@ -105,6 +117,8 @@ object ScalingBench {
           ("indri_sdm_pruned", "#WAND(0.7 #AND(open inverted) " +
             "0.2 #AND(#NEAR/1(inverted index)) " +
             "0.1 #AND(#WINDOW/8(inverted index)))", Indri(2500f, 0.4f)),
+          ("sdm_rare", rareSdm, Indri(2500f, 0.4f)),
+          ("sdm_rare_pruned", rareSdm, Indri(2500f, 0.4f)),
           ("boolean_and", "#AND(def class val)", RankedBoolean),
           ("near", "#NEAR/2(inverted index)", RankedBoolean))
         def runs(warm: Boolean) = queries.map { case (name, q, m) =>

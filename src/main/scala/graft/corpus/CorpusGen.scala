@@ -44,7 +44,15 @@ object CorpusGen {
       if (r < 0.35) sb.append(keywords(rnd.nextInt(keywords.length)))
       else if (r < 0.40) sb.append(phrases(rnd.nextInt(phrases.length)))
       else if (r < 0.50) sb.append("x").append(rnd.nextInt(20)) // hot ids
-      else sb.append("ident").append(zipf(rnd, 500))            // long tail
+      else {
+        val z = zipf(rnd, 500) // long tail
+        // the deepest tail is HAPAX identifiers (~0.13% of tail tokens,
+        // ~99% unique at 400k docs): real code corpora carry a huge
+        // near-unique identifier vocabulary, and segment-sparse terms are
+        // what positional-leaf segment pruning exists for
+        if (z >= 498) sb.append("uid").append(rnd.nextInt(1 << 22))
+        else sb.append("ident").append(z)
+      }
       sb.append(' ')
       j += 1
     }
