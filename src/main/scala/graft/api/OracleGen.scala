@@ -31,6 +31,10 @@ object OracleGen {
   private def h32(x: String): String =
     s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** `TextOps.h60` twin: 60-bit md5 prefix (fits signed BIGINT). */
+  private def h60(x: String): String =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
   // ------------------------------------------------- shared CTE text
 
   private val Toks0 =
@@ -573,23 +577,29 @@ object OracleGen {
     "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id, " +
     "md5(text) AS text_md5 FROM documents ORDER BY doc_id"
 
-  /** LSH-candidate pairs (same bands as [[lshPairs]]) verified by exact
-    * shingle Jaccard — mirrors `Dedup.lshCandidates` → `jaccardVerify`. */
+  /** LSH-candidate pairs (same bands as [[lshPairs]]) verified by shingle
+    * Jaccard over hashed sets — mirrors `Dedup.lshCandidates` →
+    * `jaccardVerify` (sets of 60-bit shingle hashes; |A∪B| = |A| + |B| −
+    * |A∩B| on the duplicate-free sets, the same integers the engine
+    * computes). */
   def jaccardPairs(threshold: Double): String = {
     val bandSelects = (0 until 4).map { bnd =>
       val ks = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $ks) AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"WITH $Toks0, $SigCtes, bands AS ($bandSelects), " +
+    s"WITH $Toks0, $SigCtes, " +
+    s"shx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) " +
+    "AS hs FROM shd), " +
+    s"bands AS ($bandSelects), " +
     "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
     "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)\n" +
     "SELECT a_id, b_id, jaccard FROM (" +
-    "SELECT c.a_id AS a_id, c.b_id AS b_id, " +
-    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
-    "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard " +
-    "FROM cand c JOIN shd sa ON sa.doc_id = c.a_id " +
-    "JOIN shd sb ON sb.doc_id = c.b_id " +
-    "WHERE len(list_distinct(sa.sh || sb.sh)) > 0) " +
+    "SELECT a_id, b_id, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+    "FROM (SELECT c.a_id AS a_id, c.b_id AS b_id, " +
+    "len(list_intersect(sa.hs, sb.hs)) AS inter, " +
+    "len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS uni " +
+    "FROM cand c JOIN shx sa ON sa.doc_id = c.a_id " +
+    "JOIN shx sb ON sb.doc_id = c.b_id) WHERE uni > 0) " +
     s"WHERE jaccard >= ${d(threshold)} ORDER BY a_id, b_id"
   }
 

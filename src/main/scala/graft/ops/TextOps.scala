@@ -28,6 +28,16 @@ object TextOps {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit content hash: first 15 hex digits of md5, as a
+    * non-negative long (< 2^60, so it fits a signed BIGINT in every
+    * engine — the DuckDB oracle uses `('0x' || substr(md5(s),1,15))
+    * ::BIGINT`). Used where a set of hashes stands in for a set of
+    * strings ([[Dedup.shingleHashesCol]]): at 60 bits the collision
+    * probability within one document's shingle set (~10^3 elements) is
+    * ~10^-12, vs ~10^-4 for [[h32]]. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Token count + distinct-term count per document. */
   def tokenStats(text: Column): (Column, Column) = {
     val toks = tokensCol(text)
