@@ -36,7 +36,13 @@ object Bench {
       c.index.termStats.count(); c.index.docs.count()
       c.index.blocks.count() // the compressed serving form
     }
-    val sigSec = time { EntryQueries.minhashSig(spark, sfDir).count() }
+    // signatures phase covers BOTH shared dedup artifacts: the MinHash
+    // table and the persisted LSH candidate-pair table derived from it
+    // (the propose→verify stage boundary; see EntryQueries.lshCands)
+    val sigSec = time {
+      EntryQueries.minhashSig(spark, sfDir).count()
+      EntryQueries.lshCands(spark, sfDir).count()
+    }
     val annSec = time { EntryQueries.annBucketedDir(spark, sfDir) }
     val streamSec = time { EntryQueries.streamingDir(spark, sfDir) }
 

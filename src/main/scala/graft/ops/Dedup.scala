@@ -101,7 +101,16 @@ object Dedup {
     *    scan exactly once; the extra aggregate shuffles only pair-sized
     *    hashed rows. Candidate growth (the quadratic term under high dup
     *    density) then scales only the cheap narrow stages, never the
-    *    text scan. */
+    *    text scan.
+    *
+    * Contract: PERSIST `candidates` before calling. The plan references
+    * it on both sides of the set join (pair rows, and the id semi-join
+    * that gates shingling), so an unpersisted frame re-runs its lineage
+    * — for [[lshCandidates]], the full band self-join — once per
+    * reference, with run-to-run plan instability under AQE (measured at
+    * 400k docs / 249k pairs: 34–365 s unpersisted vs a stable 27–29 s
+    * persisted). A pipeline persists the propose→verify stage boundary
+    * anyway. */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
                     candidates: DataFrame, n: Int,
                     threshold: Double): DataFrame = {
