@@ -87,7 +87,7 @@ object EntryQueries {
     * BOTH sides of the melted set join (the pair rows and, through the
     * id semi-join, the shingle side), so an unpersisted candidate frame
     * re-runs the band self-join once per reference — measured at sf1
-    * (400k docs, 249k pairs): unpersisted 34–365 s and wildly unstable
+    * (50k docs, 249k pairs): unpersisted 34–365 s and wildly unstable
     * across identical runs (each re-evaluation re-plans under AQE with
     * different memory pressure), persisted a stable 27–29 s. A 100 TB
     * pipeline persists the candidate table between propose and verify

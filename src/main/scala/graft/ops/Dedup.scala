@@ -108,7 +108,7 @@ object Dedup {
     * that gates shingling), so an unpersisted frame re-runs its lineage
     * — for [[lshCandidates]], the full band self-join — once per
     * reference, with run-to-run plan instability under AQE (measured at
-    * 400k docs / 249k pairs: 34–365 s unpersisted vs a stable 27–29 s
+    * 50k docs / 249k pairs: 34–365 s unpersisted vs a stable 27–29 s
     * persisted). A pipeline persists the propose→verify stage boundary
     * anyway. */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
