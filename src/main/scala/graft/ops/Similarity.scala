@@ -243,18 +243,43 @@ object Similarity {
                        threshold: Double,
                        broadcastBudgetBytes: Long =
                          NearDupBroadcastBudgetBytes): DataFrame = {
-    val bands = srpBands(df, idCol, vecCol)
-    val l = bands.select(col("band"), col("key"), col("id").as("a_id"))
-    val r = bands.select(col("band"), col("key"), col("id").as("b_id"))
-    // candidates keep their multi-band multiplicity: deduplicating pairs
-    // BEFORE verification shuffles the whole quadratic candidate table
-    // (measured the dominant cost at the sf1 probe's 9.5M bucket pairs),
-    // while verifying first costs only a ~1.3× re-computation of the
-    // (codegen'd) cosine map-side and leaves a threshold-survivor set
-    // ~20× smaller to deduplicate — sims of duplicate pairs are
-    // bit-identical, so distinct-after-verify returns the same rows.
+    // each band row carries the row's FULL per-band key array (4 longs,
+    // 32 B — linear in corpus) so the self-join can emit a colliding
+    // pair exactly once, at its first matching band: a map-side filter
+    // deduplicates the multi-band multiplicity with NO shuffle. At high
+    // dup density this is the quadratic term — identical vectors collide
+    // on all 4 bands, and the sf3 probe measured 85.2M multiplied
+    // candidate rows collapsing to 4.2M distinct pairs (each multiplied
+    // row previously paid the map-side cosine, and the survivor set paid
+    // a distinct shuffle; both costs are gone). Interleaved same-JVM A/B
+    // vs the multiplicity+distinct plan: ~10% faster at sf3's 20×
+    // multiplicity, parity at sf0.1 (the wider band shuffle costs what
+    // the removed distinct saves at toy scale) — and the gap grows with
+    // dup density, which is exactly when this op is load-bearing.
+    val keyed = df.select(col(idCol).as("id"),
+      array((0 until BandCount).map(b => bandKeyCol(col(vecCol), b)): _*)
+        .as("keys"))
+    val bands = keyed.select(col("id"), col("keys"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val l = bands.select(col("band"), col("key"), col("id").as("a_id"),
+      col("keys").as("a_keys"))
+    val r = bands.select(col("band"), col("key"), col("id").as("b_id"),
+      col("keys").as("b_keys"))
+    // a match at `band` exists by construction, so the CASE chain finds
+    // the FIRST matching band (plain getItem comparisons — no per-row
+    // array allocation; a zip_with/array_position form measured ~40%
+    // slower than the multiplicity plan it was replacing); keeping only
+    // that row emits each pair once
+    // folding from the LAST band nests band 0's test outermost, so the
+    // chain returns the first matching band
+    val firstMatchAsc = (BandCount - 1 to 0 by -1).foldLeft(lit(-1)) {
+      (acc, b) =>
+        when(col("a_keys").getItem(b) === col("b_keys").getItem(b), lit(b))
+          .otherwise(acc)
+    }
     val cand = l.join(r, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
+      .filter(col("band") === firstMatchAsc)
       .select("a_id", "b_id")
     // candidate-touched ids WITHOUT re-evaluating the quadratic pair
     // join (an `a_id ∪ b_id` over `cand` costs a second full self-join
@@ -302,12 +327,14 @@ object Similarity {
     def joinSide(prefix: String): DataFrame =
       if (estBroadcastBytes <= broadcastBudgetBytes) broadcast(sided(prefix))
       else sided(prefix).hint("shuffle_hash")
+    // no trailing distinct: the first-matching-band filter above already
+    // emits each candidate pair exactly once
     cand
       .join(joinSide("a"), "a_id")
       .join(joinSide("b"), "b_id")
       .withColumn("sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("sim") >= threshold)
-      .select("a_id", "b_id", "sim").distinct()
+      .select("a_id", "b_id", "sim")
   }
 
   /** Probe ONE band of the stored layout (plan-audit helper: the spec

@@ -75,6 +75,45 @@ class OpsSpec extends AnyFunSpec {
         .select("a_id", "b_id").as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 2L)))
     }
+
+    // the two subtree-double-evaluation lessons, pinned at the plan level:
+    // the melt guarantees ONE corpus scan regardless of how many plan
+    // references the pair sides make, and a PERSISTED candidate frame is
+    // read from cache instead of re-running its band self-join lineage
+    it("verify scans the corpus once and reads persisted candidates from cache") {
+      val dir = java.nio.file.Files.createTempDirectory("jacc-docs-").toString
+      docsDf(
+        1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        4L -> "totally unrelated content that shares no shingles at all ok")
+        .write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+      val cands = Dedup.lshCandidates(
+        Dedup.minhashSignature(docs, "doc_id", "text", 3)).cache()
+      assert(cands.count() > 0)
+      // AQE wraps the plan in an AdaptiveSparkPlanExec whose stages are
+      // not reachable by TreeNode.collect, and the cached InMemoryRelation
+      // PRINTS its full band-self-join lineage (so toString counts
+      // overcount) — disable AQE for the assertion and collect nodes
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val verified = Dedup.jaccardVerify(docs, "doc_id", "text", cands, 3, 0.5)
+        val plan = verified.queryExecution.executedPlan
+        val fileScans = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.size
+        val memScans = plan.collect {
+          case m if m.nodeName.contains("InMemoryTableScan") => m }.size
+        assert(fileScans == 1, s"expected exactly 1 corpus scan:\n${plan.toString.take(3000)}")
+        assert(memScans >= 1,
+          s"candidates should come from cache:\n${plan.toString.take(3000)}")
+        assert(verified.count() > 0)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        cands.unpersist(blocking = false)
+      }
+    }
   }
 
   describe("simhash") {
