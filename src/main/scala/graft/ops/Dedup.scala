@@ -58,7 +58,7 @@ object Dedup {
 
   /** Exact n-gram Jaccard for all intra-block pairs with sim ≥ threshold.
     * Blocking keeps the pair join linear-ish; at scale pass a selective
-    * block (e.g. an LSH band from [[minhashBands]]) instead of a corpus
+    * block (e.g. an LSH band bucket) instead of a corpus
     * attribute. Jaccard = |A∩B| / |A∪B| on DISTINCT shingles (exact
     * integer ratio → bit-exact across engines). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -165,18 +165,6 @@ object Dedup {
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"mh$i")
     }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** LSH bands: 4 bands of 4 rows → (id, band, key) rows. Docs sharing a
-    * (band, key) are near-dup candidates. */
-  def minhashBands(sig: DataFrame): DataFrame = {
-    val bands = (0 until 4).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)
-          .as("key"))
-    }
-    sig.select(col("id"), explode(array(bands: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Candidate near-duplicate pairs from LSH: distinct (a, b) sharing any
