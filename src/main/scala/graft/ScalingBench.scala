@@ -102,10 +102,18 @@ object ScalingBench {
         // does not reach). Term selected data-driven so any corpus works.
         import org.apache.spark.sql.functions.col
         import spark.implicits._
+        // headOption: a tiny corpus may contain no df=1 uid term — fall
+        // back to the globally rarest body term rather than aborting the
+        // whole benchmark on an empty Dataset
         val hapax = idx.termStats
           .filter(col("field") === "body" && col("term").startsWith("uid") &&
             col("df") === 1)
-          .orderBy("term").select("term").as[String].head()
+          .orderBy("term").select("term").as[String]
+          .take(1).headOption.getOrElse {
+            idx.termStats.filter(col("field") === "body")
+              .orderBy(col("df").asc, col("term").asc)
+              .select("term").as[String].head()
+          }
         val rareSdm = s"#WAND(0.7 #AND(open inverted) " +
           s"0.3 #AND(#NEAR/900($hapax def)))"
         val queries = Seq(

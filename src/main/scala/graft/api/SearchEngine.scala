@@ -346,15 +346,22 @@ final class SearchEngine(val index: Index,
         math.min(8, math.max(1, queries.length)))
       implicit val ec: scala.concurrent.ExecutionContextExecutorService =
         ExecutionContext.fromExecutorService(pool)
-      val heads =
+      // classify INSIDE each future and drop the cached frame as soon as
+      // a query's candidate set is closed (the common case): peak cached
+      // frames = the thread-pool width + the rare overflow queries, not
+      // the whole batch — the serial rank() path held at most one frame
+      // and a large batch of tie-prone queries must not hold N
+      // corpus-scale frames through the whole run
+      val classified =
         try Await.result(
           Future.sequence(planned.map { case (qid, narrow) =>
-            Future((qid, narrow, takeHead(narrow, 2 * k)))
+            Future {
+              val cls = classifyHead(takeHead(narrow, 2 * k), k)
+              if (cache && cls.overflow.isEmpty) narrow.unpersist(false)
+              (qid, narrow, cls)
+            }
           }), Duration.Inf)
         finally pool.shutdown()
-      val classified = heads.map { case (qid, narrow, head) =>
-        (qid, narrow, classifyHead(head, k))
-      }
       // ONE extid job for every query's survivors
       val ext = extidsOf(
         classified.flatMap(_._3.survivors.map(_._1)).distinct)
@@ -362,11 +369,13 @@ final class SearchEngine(val index: Index,
         val withExt =
           cls.survivors.map { case (d, s) => (d, s, ext(d)) }.toSeq ++
             cls.overflow.toSeq.flatMap { case (sk, need) =>
-              boundaryPass(narrow, sk, need)
+              val rows = boundaryPass(narrow, sk, need)
+              if (cache) narrow.unpersist(false)
+              rows
             }
         qid -> finalizeRank(withExt, k)
       }
-    } finally if (cache) planned.foreach(_._2.unpersist(false))
+    } finally if (cache) planned.foreach(_._2.unpersist(false)) // safety net
   }
 }
 

@@ -249,6 +249,19 @@ object IndexStore {
         case Stemming.SStem => "sstem"
         case Stemming.KStem => "kstem"
       }
+      // stats.json is hand-rolled JSON read back by regex: a stopword
+      // containing a quote, backslash, or bracket would either corrupt
+      // the file or silently truncate the parse — and a silently-dropped
+      // analyzer record defeats the mismatch guard this field exists
+      // for. Stopwords are analyzer-produced tokens (never those chars
+      // in practice), so fail LOUDLY at save rather than escape.
+      a.stopwords.find(w => w.exists(c => c == '"' || c == '\\' ||
+          c == '[' || c == ']')).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"stopword '$bad' contains JSON-breaking characters " +
+          "(\" \\ [ ]) and cannot be recorded in the snapshot's " +
+          "analyzer identity")
+      }
       val stops = a.stopwords.toSeq.sorted.map("\"" + _ + "\"").mkString(",")
       s""","analyzer":{"stemming":"$stem","stopwords":[$stops]}"""
     }.getOrElse("")

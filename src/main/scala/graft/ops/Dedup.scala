@@ -168,32 +168,16 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs from LSH: distinct (a, b) sharing any
-    * band bucket. The self-join shuffles on (band, key) — hash-uniform.
-    * Each band row carries the doc's full 4-key array so a colliding pair
-    * is emitted exactly ONCE, at its first matching band — a map-side
-    * filter replaces the distinct shuffle, and at high dup density (exact
-    * copies collide on all 4 bands) the self-join output shrinks 4×. */
+    * band bucket, each emitted exactly once at its first matching band
+    * (shared machinery and the one-row-per-id input contract:
+    * [[LshPairs]] — satisfied here because [[minhashSignature]] is a
+    * groupBy). The self-join shuffles on (band, key) — hash-uniform. */
   def lshCandidates(sig: DataFrame): DataFrame = {
     val keyed = sig.select(col("id"),
       array((0 until 4).map(bnd =>
         concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*)): _*)
         .as("keys"))
-    val bands = keyed.select(col("id"), col("keys"),
-      posexplode(col("keys")).as(Seq("band", "key")))
-    val l = bands.select(col("band"), col("key"), col("id").as("a_id"),
-      col("keys").as("a_keys"))
-    val r = bands.select(col("band"), col("key"), col("id").as("b_id"),
-      col("keys").as("b_keys"))
-    // CASE chain (band 0's test nested outermost) = first matching band;
-    // plain getItem comparisons, no per-row array allocation
-    val firstMatch = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, b) =>
-      when(col("a_keys").getItem(b) === col("b_keys").getItem(b), lit(b))
-        .otherwise(acc)
-    }
-    l.join(r, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(col("band") === firstMatch)
-      .select("a_id", "b_id")
+    LshPairs.firstBandPairs(LshPairs.bandRows(keyed), bandCount = 4)
   }
 
   /** 32-bit SimHash over the token stream (term weight = term frequency,

@@ -243,44 +243,16 @@ object Similarity {
                        threshold: Double,
                        broadcastBudgetBytes: Long =
                          NearDupBroadcastBudgetBytes): DataFrame = {
-    // each band row carries the row's FULL per-band key array (4 longs,
-    // 32 B — linear in corpus) so the self-join can emit a colliding
-    // pair exactly once, at its first matching band: a map-side filter
-    // deduplicates the multi-band multiplicity with NO shuffle. At high
-    // dup density this is the quadratic term — identical vectors collide
-    // on all 4 bands, and the sf3 probe measured 85.2M multiplied
-    // candidate rows collapsing to 4.2M distinct pairs (each multiplied
-    // row previously paid the map-side cosine, and the survivor set paid
-    // a distinct shuffle; both costs are gone). Interleaved same-JVM A/B
-    // vs the multiplicity+distinct plan: ~10% faster at sf3's 20×
-    // multiplicity, parity at sf0.1 (the wider band shuffle costs what
-    // the removed distinct saves at toy scale) — and the gap grows with
-    // dup density, which is exactly when this op is load-bearing.
+    // each colliding pair is emitted exactly once, at its first matching
+    // band — [[LshPairs]] carries the rationale, the measured A/B (~10%
+    // at sf3's 20× collision multiplicity; gap grows with dup density —
+    // exactly when this op is load-bearing), and the one-row-per-id
+    // input contract (embeddings are one row per vec_id)
     val keyed = df.select(col(idCol).as("id"),
       array((0 until BandCount).map(b => bandKeyCol(col(vecCol), b)): _*)
         .as("keys"))
-    val bands = keyed.select(col("id"), col("keys"),
-      posexplode(col("keys")).as(Seq("band", "key")))
-    val l = bands.select(col("band"), col("key"), col("id").as("a_id"),
-      col("keys").as("a_keys"))
-    val r = bands.select(col("band"), col("key"), col("id").as("b_id"),
-      col("keys").as("b_keys"))
-    // a match at `band` exists by construction, so the CASE chain finds
-    // the FIRST matching band (plain getItem comparisons — no per-row
-    // array allocation; a zip_with/array_position form measured ~40%
-    // slower than the multiplicity plan it was replacing); keeping only
-    // that row emits each pair once
-    // folding from the LAST band nests band 0's test outermost, so the
-    // chain returns the first matching band
-    val firstMatchAsc = (BandCount - 1 to 0 by -1).foldLeft(lit(-1)) {
-      (acc, b) =>
-        when(col("a_keys").getItem(b) === col("b_keys").getItem(b), lit(b))
-          .otherwise(acc)
-    }
-    val cand = l.join(r, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(col("band") === firstMatchAsc)
-      .select("a_id", "b_id")
+    val bands = LshPairs.bandRows(keyed)
+    val cand = LshPairs.firstBandPairs(bands, BandCount)
     // candidate-touched ids WITHOUT re-evaluating the quadratic pair
     // join (an `a_id ∪ b_id` over `cand` costs a second full self-join
     // per action): a vector appears in some pair iff one of its band
