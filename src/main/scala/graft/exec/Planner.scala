@@ -171,7 +171,17 @@ final class Planner(index: Index, model: RetrievalModel) {
       val children0 = args.map(planIl)
       requireSameField(children0, s"#WINDOW/$dist")
       // Args sorted by df ascending, stable (`QryopIlWindow.java:52`,
-      // comparator `Qryop.java:25-33`).
+      // comparator `Qryop.java:25-33`). Under [[planIlRestricted]] a
+      // composite (#SYN/#NEAR) child's docFreq is its RESTRICTED count,
+      // which can order args differently than the exhaustive plan — but
+      // that cannot change the result: the window kernel is
+      // permutation-invariant over its args (valid states emit the max
+      // VALUE and advance all cursors; invalid states cannot turn valid
+      // until every cursor tied at the min has advanced past it, so the
+      // post-tie state is order-independent — property-tested in
+      // PositionOpsSpec). The reference's df-sort is a DAAT efficiency
+      // choice (smallest list first), which the restricted key serves
+      // equally well.
       val children = children0.sortBy(c => c.docFreq())
       val field = children.head.field
       if (children.length == 1) {

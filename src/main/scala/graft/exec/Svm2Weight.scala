@@ -18,7 +18,9 @@ object Svm2Weight {
     val w = scala.collection.mutable.LongMap.empty[Double]
     var maxIdx = 0L
     for (l <- lines.drop(11)) {
-      val features = l.split("#")(0).trim
+      // takeWhile, not split("#")(0): a line of ONLY '#' chars splits to a
+      // zero-length array (crash), where the perl script skips it
+      val features = l.takeWhile(_ != '#').trim
       if (features.nonEmpty) {
         val parts = features.split("\\s+")
         val alpha = parts(0).toDouble

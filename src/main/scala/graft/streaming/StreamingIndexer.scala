@@ -72,7 +72,7 @@ object StreamingIndexer {
       spark.read.parquet(s"$segDir/docs"),
       spark.read.parquet(s"$segDir/doclen"))
     IndexStore.writeStats(segStats, s"$segDir/stats.json",
-      cfg.buckets, cfg.fields)
+      cfg.buckets, cfg.fields, Some(cfg.analyzer))
     // manifest row: per-segment lineage + build metrics (north rule)
     val m = s"""{"segment":$batchId,"numDocs":${segStats.numDocs},""" +
       s""""committedAtMs":${System.currentTimeMillis()}}"""
@@ -123,7 +123,23 @@ object StreamingIndexer {
     val doclen = table("doclen")
     val docs = table("docs")
     val termStats = IndexBuilder.termStatsOf(postings)
+    // Analyzer identity rides with every segment's stats.json (same field
+    // SearchEngine validates for batch snapshots): segments stemmed with
+    // different analyzers cannot be merged into one queryable vocabulary,
+    // and a merged index with no recorded analyzer would wrongly trip —
+    // or wrongly pass — the query-time mismatch guard.
+    val analyzers = segs.map(b =>
+      IndexStore.readStats(s"$dir/seg=$b/stats.json")._4)
+    val distinctRecorded = analyzers.flatten.distinct
+    require(distinctRecorded.size <= 1,
+      s"streaming segments under $dir record ${distinctRecorded.size} " +
+      "different analyzer configs — they were built by different streams " +
+      "and cannot be merged")
+    val analyzer =
+      if (analyzers.forall(_.isDefined)) distinctRecorded.headOption
+      else None // some legacy segment predates analyzer recording
     new Index(spark, docs, postings, doclen, termStats,
-      statsThunk = () => IndexBuilder.statsOf(docs, doclen))
+      statsThunk = () => IndexBuilder.statsOf(docs, doclen),
+      analyzerOpt = analyzer)
   }
 }

@@ -52,5 +52,34 @@ class PositionOpsSpec extends AnyFunSpec {
     it("unordered: args can match in any order") {
       assert(PositionOps.windowPositions(Seq(Seq(10), Seq(8)), 3) == Seq(10))
     }
+    it("is permutation-invariant over its args (the df-sort is a DAAT " +
+       "efficiency choice, not a correctness requirement)") {
+      // Load-bearing for positional-leaf segment pruning: under
+      // Planner.planIlRestricted a composite #WINDOW child's docFreq sort
+      // key is its RESTRICTED count, so the pruned plan may order args
+      // differently than the exhaustive plan. Safe because the kernel's
+      // output is arg-order-independent: valid states emit the max VALUE
+      // and advance every cursor; an invalid state cannot become valid
+      // until all cursors tied at the min advance past it, so the
+      // post-tie state is reached regardless of which tied cursor (the
+      // first-index one) moves first. Exercised over lists WITH shared
+      // and duplicate values — #SYN children produce supersets of their
+      // members' lists (ties with a sibling of the same term) and
+      // duplicate-term #SYN args produce repeated positions.
+      val rnd = new scala.util.Random(41)
+      (0 until 400).foreach { _ =>
+        val k = 2 + rnd.nextInt(3)
+        val lists: Seq[Seq[Int]] = Seq.fill(k) {
+          val n = 1 + rnd.nextInt(5)
+          Seq.fill(n)(rnd.nextInt(10)).sorted // duplicates allowed
+        }
+        val dist = 1 + rnd.nextInt(5)
+        val base = PositionOps.windowPositions(lists, dist)
+        lists.permutations.take(24).foreach { perm =>
+          assert(PositionOps.windowPositions(perm, dist) == base,
+            s"lists=$lists dist=$dist perm=$perm")
+        }
+      }
+    }
   }
 }

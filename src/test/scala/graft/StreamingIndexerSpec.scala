@@ -88,6 +88,41 @@ class StreamingIndexerSpec extends AnyFunSpec {
       assert(StreamingIndexer.committedSegments(dir) == Seq(2047L))
     }
 
+    it("records the analyzer identity per segment and carries it through " +
+       "loadMerged, so the query-time mismatch guard works on streaming " +
+       "indexes too") {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-stream5-").toString
+      val english = IndexConfig(AnalyzerConfig.english, buckets = 8)
+      StreamingIndexer.processBatch(dir, english)(
+        CorpusGen.docs(20).toDF(), 0L)
+      StreamingIndexer.processBatch(dir, english)(
+        CorpusGen.docs(30).drop(20).toDF(), 1L)
+      val merged = StreamingIndexer.loadMerged(spark, dir)
+      assert(merged.analyzerOpt.contains(AnalyzerConfig.english))
+      // the profile the index was built with is queryable...
+      new SearchEngine(merged, AnalyzerConfig.english)
+      // ...and a mismatched profile fails loudly instead of silently
+      // matching a differently-stemmed vocabulary
+      val e = intercept[IllegalArgumentException](
+        new SearchEngine(merged, AnalyzerConfig.code))
+      assert(e.getMessage.contains("analyzer mismatch"))
+    }
+
+    it("refuses to merge segments built with different analyzers") {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-stream6-").toString
+      StreamingIndexer.processBatch(dir,
+        IndexConfig(AnalyzerConfig.code, buckets = 8))(
+        CorpusGen.docs(10).toDF(), 0L)
+      StreamingIndexer.processBatch(dir,
+        IndexConfig(AnalyzerConfig.english, buckets = 8))(
+        CorpusGen.docs(20).drop(10).toDF(), 1L)
+      val e = intercept[IllegalArgumentException](
+        StreamingIndexer.loadMerged(spark, dir))
+      assert(e.getMessage.contains("different analyzer"))
+    }
+
     it("compaction: merged segments persist via IndexStore and reload identically") {
       import spark.implicits._
       val segDir = Files.createTempDirectory("graft-stream4-").toString

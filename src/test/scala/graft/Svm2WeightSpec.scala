@@ -57,6 +57,13 @@ class Svm2WeightSpec extends AnyFunSpec {
       intercept[IllegalArgumentException](
         Svm2Weight.weights(Seq("SVM-light", "0")))
     }
+
+    it("skips comment-only SV lines, including a bare '#' (perl splits " +
+       "'#' to undef and skips; split(\"#\")(0) would crash)") {
+      val w = Svm2Weight.weights(model(
+        "#", "###", "# a comment", "   # indented", "1.0 2:1.5 #"))
+      assert(w.toSeq == Seq(0.0, 1.5))
+    }
   }
 
   /** Parse `i:v` lines from either implementation; perl prints an
